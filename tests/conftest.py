@@ -1,0 +1,17 @@
+"""Test configuration: run on CPU with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY.md section 4).
+
+The container's sitecustomize force-registers the `axon` (tunneled TPU)
+platform and overrides JAX_PLATFORMS, so we must override back via
+jax.config.update after import. XLA_FLAGS must be set before backend init.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
