@@ -1,0 +1,321 @@
+"""Batched, branchless Jacobian curve arithmetic, generic over the field.
+
+Replaces arkworks `ark_ec` group ops used by the reference
+(/root/reference/src/data_structures.rs:181-191, :336-342; generator.rs:96-99).
+
+Representation
+--------------
+* Jacobian point: tuple (X, Y, Z) of field elements; Z == 0 <=> infinity.
+* Affine point:   tuple (x, y, inf) with `inf: bool[*batch]`; the affine
+  coordinates of the point at infinity are (0, 0) by convention (this matches
+  arkworks' `G1Affine::zero()`, which the reference uses as the `iota` padding
+  value in `Com1::linear_map`, data_structures.rs:310-312).
+
+All exceptional cases (doubling, inverses, infinity) are handled with
+`jnp.where` selects so the same trace serves every input -- required for
+`vmap`/`scan`/TPU.
+
+G1 is over Fq; G2 over Fq2 (same code, different field object).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .fp import FR
+from . import bls12_381 as C
+
+
+class Curve:
+    """y^2 = x^3 + b over `field` (a = 0, as for BLS12-381 G1/G2)."""
+
+    def __init__(self, field, b_const, name=""):
+        self.F = field
+        self.b = b_const          # field element constant (unbatched)
+        self.name = name
+
+    # ------------------------------------------------------------ structure
+
+    def inf_jac(self, batch_shape=()):
+        F = self.F
+        return (F.one(batch_shape), F.one(batch_shape), F.zeros(batch_shape))
+
+    def inf_affine(self, batch_shape=()):
+        F = self.F
+        return (F.zeros(batch_shape), F.zeros(batch_shape),
+                jnp.ones(batch_shape, dtype=bool))
+
+    def from_affine(self, a):
+        """(x, y, inf) -> Jacobian; infinity maps to Z = 0."""
+        x, y, inf = a
+        F = self.F
+        nz = ~inf
+        one = F.one(np.shape(inf))
+        z = F.select(nz, one, F.zeros(np.shape(inf)))
+        return (x, y, z)
+
+    def is_inf(self, p):
+        # Z bounds: add < 6p, double < 4p, from_affine < p -> k=8 covers all.
+        return self.F.is_zero(p[2], k=8)
+
+    @staticmethod
+    def select(mask, p, q):
+        """mask ? p : q over whole point pytrees (mask: bool[*batch])."""
+        return jax.tree_util.tree_map(
+            lambda x, y: jnp.where(mask[None], x, y), p, q)
+
+    # ------------------------------------------------------------ group law
+
+    def double(self, p):
+        """dbl-2009-l (a=0). Correctly sends Z=0 and Y=0 to infinity.
+
+        Value bounds (in units of p, see ops/fp.py): mul/sqr outputs < 2p;
+        X3 < 34p, Y3 < 82p, Z3 < 4p -- all mul-safe; static sub offsets k
+        are audited to cover each subtrahend's bound.
+        """
+        F = self.F
+        X1, Y1, Z1 = p
+        A = F.sqr(X1)                                   # < 2p
+        B = F.sqr(Y1)                                   # < 2p
+        Cc = F.sqr(B)                                   # < 2p
+        D = F.double(F.sub(F.sub(F.sqr(F.add(X1, B)), A, k=2), Cc, k=2))  # < 12p
+        E = F.add(F.double(A), A)                       # < 6p
+        Ff = F.sqr(E)                                   # < 2p
+        X3 = F.sub(Ff, F.double(D), k=32)               # < 34p
+        Y3 = F.sub(F.mul(E, F.sub(D, X3, k=64)),
+                   F.double(F.double(F.double(Cc))), k=16)   # < 18p
+        Z3 = F.double(F.mul(Y1, Z1))                    # < 4p
+        return (X3, Y3, Z3)
+
+    def add(self, p, q):
+        """Complete select-based addition (add-2007-bl + exceptional cases)."""
+        F = self.F
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        Z1Z1 = F.sqr(Z1)
+        Z2Z2 = F.sqr(Z2)
+        U1 = F.mul(X1, Z2Z2)                            # < 2p
+        U2 = F.mul(X2, Z1Z1)
+        S1 = F.mul(F.mul(Y1, Z2), Z2Z2)                 # < 2p
+        S2 = F.mul(F.mul(Y2, Z1), Z1Z1)
+        H = F.sub(U2, U1, k=2)                          # < 4p
+        I = F.sqr(F.double(H))                          # < 2p
+        J = F.mul(H, I)                                 # < 2p
+        r = F.double(F.sub(S2, S1, k=2))                # < 8p
+        V = F.mul(U1, I)                                # < 2p
+        X3 = F.sub(F.sub(F.sqr(r), J, k=2), F.double(V), k=4)      # < 10p
+        Y3 = F.sub(F.mul(r, F.sub(V, X3, k=16)),
+                   F.double(F.mul(S1, J)), k=4)         # < 6p
+        Z3 = F.mul(F.sub(F.sub(F.sqr(F.add(Z1, Z2)), Z1Z1, k=2), Z2Z2, k=2), H)
+        res = (X3, Y3, Z3)
+
+        # Exceptional cases.
+        p_inf = self.is_inf(p)
+        q_inf = self.is_inf(q)
+        same_x = F.eq(U1, U2, k=2) & ~p_inf & ~q_inf
+        same_y = F.eq(S1, S2, k=2)
+        is_dbl = same_x & same_y
+        # same_x & ~same_y -> P + (-P): formula already yields Z3 = 0. OK.
+        res = self.select(is_dbl, self.double(p), res)
+        res = self.select(q_inf, p, res)
+        res = self.select(p_inf, q, res)
+        return res
+
+    def add_mixed(self, p, a):
+        """Jacobian + affine (madd-2007-bl), exceptional cases via select."""
+        F = self.F
+        X1, Y1, Z1 = p
+        x2, y2, a_inf = a
+        # Input coordinate bounds: X1 < 34p, Y1 < 18p, Z1 < 4p (double()
+        # outputs), affine x2, y2 < 2p. All sqr/mul products stay < 2^16 p^2.
+        Z1Z1 = F.sqr(Z1)
+        U2 = F.mul(x2, Z1Z1)                            # < 2p
+        S2 = F.mul(F.mul(y2, Z1), Z1Z1)                 # < 2p
+        H = F.sub(U2, X1, k=64)                         # < 66p
+        HH = F.sqr(H)                                   # < 2p
+        I = F.double(F.double(HH))                      # < 8p
+        J = F.mul(H, I)                                 # < 2p
+        r = F.double(F.sub(S2, Y1, k=32))               # < 68p
+        V = F.mul(X1, I)                                # < 2p
+        X3 = F.sub(F.sub(F.sqr(r), J, k=2), F.double(V), k=4)     # < 10p
+        Y3 = F.sub(F.mul(r, F.sub(V, X3, k=16)),
+                   F.double(F.mul(Y1, J)), k=4)         # < 6p
+        Z3 = F.sub(F.sub(F.sqr(F.add(Z1, H)), Z1Z1, k=2), HH, k=2)  # < 6p
+        res = (X3, Y3, Z3)
+
+        p_inf = self.is_inf(p)
+        same_x = F.eq(U2, X1, k=64) & ~p_inf & ~a_inf
+        same_y = F.eq(S2, Y1, k=32)
+        is_dbl = same_x & same_y
+        res = self.select(is_dbl, self.double(p), res)
+        res = self.select(a_inf, p, res)
+        res = self.select(p_inf, self.from_affine(a), res)
+        return res
+
+    def neg(self, p):
+        return (p[0], self.F.neg(p[1]), p[2])
+
+    def neg_affine(self, a):
+        return (a[0], self.F.neg(a[1]), a[2])
+
+    # ------------------------------------------------------------ conversions
+
+    def to_affine(self, p):
+        """Jacobian -> (x, y, inf). Batch-parallel Fermat inversion."""
+        F = self.F
+        X, Y, Z = p
+        inf = F.is_zero(Z)
+        zi = F.inv(Z)
+        zi2 = F.sqr(zi)
+        x = F.mul(X, zi2)
+        y = F.mul(Y, F.mul(zi, zi2))
+        zero = F.zeros(np.shape(inf))
+        return (F.select(inf, zero, x), F.select(inf, zero, y), inf)
+
+    # ------------------------------------------------------------ predicates
+
+    def eq_jac(self, p, q):
+        """Projective equality: X1 Z2^2 == X2 Z1^2 and Y1 Z2^3 == Y2 Z1^3."""
+        F = self.F
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        Z1Z1, Z2Z2 = F.sqr(Z1), F.sqr(Z2)
+        ex = F.eq(F.mul(X1, Z2Z2), F.mul(X2, Z1Z1))
+        ey = F.eq(F.mul(Y1, F.mul(Z2, Z2Z2)), F.mul(Y2, F.mul(Z1, Z1Z1)))
+        both_inf = self.is_inf(p) & self.is_inf(q)
+        one_inf = self.is_inf(p) ^ self.is_inf(q)
+        return both_inf | (~one_inf & ex & ey)
+
+    def eq_affine(self, a, b):
+        F = self.F
+        both_inf = a[2] & b[2]
+        one_inf = a[2] ^ b[2]
+        return both_inf | (~one_inf & F.eq(a[0], b[0]) & F.eq(a[1], b[1]))
+
+    def on_curve_affine(self, a):
+        F = self.F
+        x, y, inf = a
+        bb = jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(
+                l.reshape(l.shape[:1] + (1,) * len(np.shape(inf))),
+                l.shape[:1] + np.shape(inf)), self.b)
+        rhs = F.add(F.mul(F.sqr(x), x), bb)
+        return inf | F.eq(F.sqr(y), rhs, k=4)
+
+    # ------------------------------------------------------------ scalar mul
+
+    def scalar_mul(self, p_affine, scalar_limbs):
+        """[k]P for batched affine points and batched Fr scalars.
+
+        Double-and-add over the fixed 256-bit scalar width via `lax.scan`
+        (MSB first); branchless conditional adds. Scalars are standard-form
+        Fr limbs (uint32[16, *batch], NOT Montgomery).
+        """
+        F = self.F
+        nbits = FR.n * 16
+        batch = np.shape(p_affine[2])
+
+        def bit_at(i):
+            limb = scalar_limbs[i // 16]
+            return ((limb >> (i % 16)) & 1).astype(bool)
+
+        bits = jnp.stack([bit_at(nbits - 1 - i) for i in range(nbits)])
+
+        def body(acc, bit):
+            acc = self.double(acc)
+            added = self.add_mixed(acc, p_affine)
+            acc = jax.tree_util.tree_map(
+                lambda x, y: jnp.where(bit[None], x, y), added, acc)
+            return acc, None
+
+        out, _ = lax.scan(body, self.inf_jac(batch), bits)
+        return out
+
+    def msm_naive(self, points_affine, scalars):
+        """sum_k [s_k] P_k over axis `axis` (the first batch axis).
+
+        Baseline MSM: per-point scalar-mul then tree add-reduction. The
+        Pippenger kernel in ops/msm.py supersedes this for large N.
+        """
+        prods = self.scalar_mul(points_affine, scalars)  # (limb, N, ...)
+        return self.sum_reduce(prods, axis=0)
+
+    def sum_reduce(self, p_jac, axis: int = 0):
+        """Tree-reduce a batch axis of Jacobian points with the group law."""
+        def batch_ax(leaf_ax):
+            return axis + 1  # leaves carry the limb axis in front
+
+        pts = p_jac
+        size = jax.tree_util.tree_leaves(pts)[0].shape[1 + axis]
+        while size > 1:
+            half = size // 2
+            even = jax.tree_util.tree_map(
+                lambda l: lax.slice_in_dim(l, 0, half, axis=1 + axis), pts)
+            odd = jax.tree_util.tree_map(
+                lambda l: lax.slice_in_dim(l, half, 2 * half, axis=1 + axis),
+                pts)
+            summed = self.add(even, odd)
+            if size % 2:
+                rest = jax.tree_util.tree_map(
+                    lambda l: lax.slice_in_dim(l, 2 * half, size, axis=1 + axis),
+                    pts)
+                summed = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b], axis=1 + axis),
+                    summed, rest)
+                size = half + 1
+            else:
+                size = half
+            pts = summed
+        return jax.tree_util.tree_map(
+            lambda l: lax.index_in_dim(l, 0, axis=1 + axis, keepdims=False),
+            pts)
+
+
+# ---------------------------------------------------------------------------
+# Instances
+# ---------------------------------------------------------------------------
+
+from .fp import FQ
+from .tower import FQ2
+
+G1 = Curve(FQ, None, "G1")
+G1.b = FQ.from_int(C.B_G1)
+
+G2 = Curve(FQ2, None, "G2")
+G2.b = FQ2.from_int_pair(*C.B_G2)
+
+
+def g1_affine_from_ints(coords):
+    """[(x, y) or None, ...] -> batched affine G1."""
+    xs = [0 if c is None else c[0] for c in coords]
+    ys = [0 if c is None else c[1] for c in coords]
+    infs = [c is None for c in coords]
+    return (FQ.from_ints(xs), FQ.from_ints(ys),
+            jnp.asarray(np.array(infs, dtype=bool)))
+
+
+def g2_affine_from_ints(coords):
+    """[((x0,x1),(y0,y1)) or None, ...] -> batched affine G2."""
+    xs = [(0, 0) if c is None else c[0] for c in coords]
+    ys = [(0, 0) if c is None else c[1] for c in coords]
+    infs = [c is None for c in coords]
+    return (FQ2.from_ints(xs), FQ2.from_ints(ys),
+            jnp.asarray(np.array(infs, dtype=bool)))
+
+
+def g1_affine_to_ints(a):
+    """Batched affine G1 -> [(x, y) or None, ...]."""
+    xs = G1.F.to_ints(a[0])
+    ys = G1.F.to_ints(a[1])
+    infs = np.asarray(a[2]).reshape(-1)
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
+
+
+def g2_affine_to_ints(a):
+    xs = FQ2.to_ints(a[0])
+    ys = FQ2.to_ints(a[1])
+    infs = np.asarray(a[2]).reshape(-1)
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]

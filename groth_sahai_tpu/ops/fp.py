@@ -1,18 +1,29 @@
 """Limb-sliced prime-field arithmetic for TPU (pure JAX ops; Pallas later).
 
-A field element is `uint32[n, *batch]` of 16-bit limbs, little-endian along
-axis 0 (see :mod:`groth_sahai_tpu.ops.limbs`). Elements are kept in Montgomery
-form (`x_bar = x * R mod p`, `R = 2^(16 n)`) and always fully reduced to
-`[0, p)`, so limb-wise equality is well defined.
+A field element is `uint32[n, *batch]` of exact 16-bit limbs, little-endian
+along axis 0 (see :mod:`groth_sahai_tpu.ops.limbs`). Elements are kept in
+Montgomery form (`x_bar = x * R mod p`, `R = 2^(16 n)`).
 
-Design notes (TPU-first, replaces arkworks `ark_ff::Fp` used throughout the
-reference, e.g. /root/reference/src/data_structures.rs:22-27):
-  * All loops over limbs are static Python loops -> unrolled, fused by XLA.
-  * Exponentiation runs as a `lax.scan` over exponent bits so trace size stays
-    O(one multiply) regardless of exponent length.
-  * No data-dependent control flow anywhere; exceptional cases are selects.
-  * Inversion is Fermat (a^(p-2)) -- fully batch-parallel, unlike the
-    sequential Montgomery batch-inversion trick, which would serialize lanes.
+Redundant representation
+------------------------
+The capacity `R` is chosen ~2^19 x larger than the modulus (25 limbs for the
+381-bit Fq, 17 for the 255-bit Fr) so values need NOT be canonically reduced
+after every op. The static bound discipline is:
+
+  * `mul`/`sqr` outputs are < 2p (Montgomery, no conditional subtraction);
+  * `add(a, b)` = a + b (bounds add; single carry pass, no reduction);
+  * `sub(a, b, k)` = a + k*p - b, requires bound(b) <= k*p (static k);
+  * any value fed to `mul` must be < 2^8 * p (so the product < p*R);
+  * `normalize` canonically reduces to [0, p); `eq`/`is_zero`/serialization
+    work on non-canonical values by checking against small multiples of p.
+
+This removes the ~40% of equation count and VPU work that per-op conditional
+subtraction would cost, which matters both for XLA graph size (compile time)
+and runtime. Every op is select/carry-chain based -- no data-dependent
+control flow (TPU/vmap/scan safe).
+
+Replaces arkworks `ark_ff::Fp` used throughout the reference
+(e.g. /root/reference/src/data_structures.rs:22-27).
 """
 
 from __future__ import annotations
@@ -36,21 +47,18 @@ class PrimeField:
         self.n = n_limbs
         self.name = name
         self.R_int = 1 << (W * n_limbs)
-        assert self.R_int > modulus
-        # -p^{-1} mod 2^16 (Montgomery constant)
-        self.n0 = (-pow(modulus, -1, 1 << W)) % (1 << W)
-        self.p_limbs = int_to_limbs(modulus, n_limbs)                  # np (n,)
+        # Headroom for the redundant representation: need 2^16 * p < R so
+        # that mul inputs bounded by 2^8 p keep T = a*b < p*R.
+        assert (modulus << 16) < self.R_int, "need 16 bits of limb headroom"
+        self.n0 = (-pow(modulus, -1, 1 << W)) % (1 << W)   # -p^{-1} mod 2^16
+        self.p_limbs = int_to_limbs(modulus, n_limbs)
         self.r_mod_p = self.R_int % modulus
         self.r2_mod_p = (self.r_mod_p * self.r_mod_p) % modulus
 
     # ---------------------------------------------------------------- helpers
 
     def _const(self, value_int: int, ndim: int) -> jnp.ndarray:
-        """Raw (non-Montgomery, NOT reduced) limb constant shaped (n, 1, ...).
-
-        Used for the modulus itself and for pre-reduced values; callers must
-        pass value_int < 2^(16 n).
-        """
+        """Raw limb constant (NOT reduced, NOT Montgomery), shaped (n, 1...)."""
         c = int_to_limbs(value_int, self.n)
         return jnp.asarray(c.reshape((self.n,) + (1,) * max(ndim - 1, 0)))
 
@@ -66,11 +74,11 @@ class PrimeField:
 
     # ------------------------------------------------------- carry primitives
 
-    def _carry(self, cols, extra: int = 1):
-        """Propagate carries over `cols` (list or array along axis 0).
+    def _carry(self, cols):
+        """Exact carry propagation along axis 0 (columns < 2^26 -> 16-bit).
 
-        Each input column must be < 2^26 or so; output limbs are exact 16-bit
-        with `extra` additional top limbs appended.
+        The final carry out of the top limb must be zero (value < capacity);
+        callers guarantee this via the bound discipline.
         """
         ncols = cols.shape[0] if hasattr(cols, "shape") else len(cols)
         xs = [cols[i] for i in range(ncols)]
@@ -80,17 +88,11 @@ class PrimeField:
             v = xs[i] + c
             outs.append(v & MASK)
             c = v >> W
-        for _ in range(extra):
-            outs.append(c & MASK)
-            c = c >> W
         return jnp.stack(outs)
 
     @staticmethod
     def _sub_borrow(a, b):
-        """(a - b) limbwise over equal-length limb arrays.
-
-        Returns (diff_limbs, borrow_out) with borrow_out in {0, 1}.
-        """
+        """(a - b) limbwise (equal length); returns (diff, borrow_out in {0,1})."""
         nl = a.shape[0]
         outs = []
         borrow = jnp.zeros_like(a[0])
@@ -100,100 +102,173 @@ class PrimeField:
             borrow = _U32(1) - (v >> W)
         return jnp.stack(outs), borrow
 
-    def _cond_sub_p(self, s):
-        """Reduce s in [0, 2p) given as n+1 exact limbs -> n limbs in [0, p)."""
-        p_ext = self._const(self.p, s.ndim)
-        p_ext = jnp.concatenate([p_ext, jnp.zeros_like(p_ext[:1])], axis=0)
-        d, borrow = self._sub_borrow(s, jnp.broadcast_to(p_ext, s.shape))
-        take_s = borrow.astype(bool)  # s < p
-        return jnp.where(take_s[None], s[: self.n], d[: self.n])
-
     # ----------------------------------------------------------- field ops
 
     def add(self, a, b):
-        s = self._carry(a + b, extra=1)
-        return self._cond_sub_p(s)
+        """a + b. Bound: bound(a) + bound(b). One carry pass, no reduction."""
+        return self._carry(a + b)
 
-    def sub(self, a, b):
-        d, borrow = self._sub_borrow(a, b)
-        p_b = jnp.broadcast_to(self._const(self.p, a.ndim), a.shape)
-        dp = self._carry(d + p_b, extra=0)  # carry cancels the borrow
-        return jnp.where(borrow.astype(bool)[None], dp, d)
+    def sub(self, a, b, k: int = 4):
+        """a - b + k*p, for a static k with bound(b) <= k*p.
 
-    def neg(self, a):
-        p_b = jnp.broadcast_to(self._const(self.p, a.ndim), a.shape)
-        d, _ = self._sub_borrow(p_b, a)
-        return jnp.where(self.is_zero(a)[None], a, d)
+        Bound of result: bound(a) + k*p. Single fused add/sub chain.
+        """
+        kp = int_to_limbs(k * self.p, self.n)
+        nl = self.n
+        outs = []
+        c = jnp.zeros_like(a[0]) + _U32(1)          # +1 of the two's complement
+        for i in range(nl):
+            v = a[i] + _U32(int(kp[i]) + MASK) - b[i] + c
+            outs.append(v & MASK)
+            c = v >> W
+        # final carry out is exactly 1 (the 2^(16n) of the complement); drop it
+        return jnp.stack(outs)
+
+    def neg(self, a, k: int = 2):
+        """k*p - a with bound(a) <= k*p. Result bound: k*p."""
+        kp = self._const(k * self.p, a.ndim)
+        d, _ = self._sub_borrow(jnp.broadcast_to(kp, a.shape), a)
+        return d
 
     def double(self, a):
-        return self.add(a, a)
+        return self._carry(a + a)
 
     def mul(self, a, b):
-        """Montgomery product a * b * R^{-1} mod p. Inputs/outputs reduced."""
-        n = a.ndim >= b.ndim and a.ndim or b.ndim
-        if a.ndim < n:
-            a = a.reshape(a.shape[:1] + (1,) * (n - a.ndim) + a.shape[1:])
-        if b.ndim < n:
-            b = b.reshape(b.shape[:1] + (1,) * (n - b.ndim) + b.shape[1:])
+        """Montgomery product a*b*R^{-1} mod p.
+
+        Requires bound(a)*bound(b) <= 2^16 * p^2 (e.g. both < 2^8 p).
+        Output bound: < 2p. Batch shapes broadcast against each other.
+        """
+        nd = max(a.ndim, b.ndim)
+        if a.ndim < nd:
+            a = a.reshape(a.shape[:1] + (1,) * (nd - a.ndim) + a.shape[1:])
+        if b.ndim < nd:
+            b = b.reshape(b.shape[:1] + (1,) * (nd - b.ndim) + b.shape[1:])
         return self._mont_mul(a, b)
 
     def _mont_mul(self, a, b):
+        return self.redc(self.mul_wide(a, b))
+
+    def sqr(self, a):
+        return self._mont_mul(a, a)
+
+    # ------------------------------------------- wide (lazy-reduction) domain
+    #
+    # A "wide" value is a 2n+1-limb exact product-domain integer (< p*R).
+    # Tower multiplications compute Karatsuba combinations on wide values and
+    # Montgomery-reduce ONCE per output coefficient ("lazy reduction", as in
+    # high-performance pairing libraries). Budget: wide values must stay
+    # < 2^18 * p^2 so that redc input < p*R and output < 2p.
+
+    def mul_wide(self, a, b):
+        """Exact 2n+1-limb product a*b (16-bit limbs). No reduction."""
         nl = self.n
+        nd = max(a.ndim, b.ndim)
+        if a.ndim < nd:
+            a = a.reshape(a.shape[:1] + (1,) * (nd - a.ndim) + a.shape[1:])
+        if b.ndim < nd:
+            b = b.reshape(b.shape[:1] + (1,) * (nd - b.ndim) + b.shape[1:])
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        # ---- full schoolbook product with lazy columns -----------------
+        b = jnp.broadcast_to(b, (nl,) + batch)
         acc = jnp.zeros((2 * nl + 1,) + batch, dtype=_U32)
         for i in range(nl):
-            prod = a[i] * b            # (nl, *batch) exact 16x16 -> 32-bit
+            prod = a[i] * b
             acc = acc.at[i:i + nl].add(prod & MASK)
             acc = acc.at[i + 1:i + nl + 1].add(prod >> W)
-        # ---- exact carry so Montgomery m-digits are computable ---------
-        acc = self._carry(acc, extra=0)
-        # ---- Montgomery reduction --------------------------------------
-        p_col = self._const(self.p, 1 + len(batch))  # (nl, 1...)
+        return self._carry(acc)
+
+    def redc(self, t):
+        """Montgomery-reduce a wide value: t * R^{-1} mod p, output < 2p.
+
+        Requires t < p*R (2n+1 exact limbs).
+        """
+        nl = self.n
+        batch = t.shape[1:]
+        acc = t
+        p_col = self._const(self.p, 1 + len(batch))
         carry = jnp.zeros(batch, dtype=_U32)
         n0 = _U32(self.n0)
         for i in range(nl):
             v = acc[i] + carry
             m = (v * n0) & MASK
-            mp = m * p_col             # (nl, *batch) exact
-            mp_lo = mp & MASK
-            mp_hi = mp >> W
-            v = v + mp_lo[0]
-            carry = v >> W
-            acc = acc.at[i + 1:i + nl].add(mp_lo[1:])
-            acc = acc.at[i + 1:i + nl + 1].add(mp_hi)
+            mp = m * p_col
+            carry = (v + (mp[0] & MASK)) >> W
+            acc = acc.at[i + 1:i + nl].add(mp[1:] & MASK)
+            acc = acc.at[i + 1:i + nl + 1].add(mp >> W)
         res = acc[nl:2 * nl + 1]
         res = res.at[0].add(carry)
-        res = self._carry(res, extra=0)   # (nl+1, *batch) exact, value < 2p
-        return self._cond_sub_p(res)
+        return self._carry(res)[: nl]
 
-    def sqr(self, a):
-        return self._mont_mul(a, a)
+    def add_wide(self, a, b):
+        """Wide + wide (exact carry pass)."""
+        return self._carry(a + b)
+
+    def double_wide(self, a):
+        return self._carry(a + a)
+
+    def sub_wide(self, a, b, k2: int = 1 << 8):
+        """a - b + k2 * p^2 on wide values; requires bound(b) <= k2 * p^2."""
+        nw = 2 * self.n + 1
+        kp2 = int_to_limbs(k2 * self.p * self.p, nw)
+        outs = []
+        c = jnp.zeros_like(a[0]) + _U32(1)
+        for i in range(nw):
+            v = a[i] + _U32(int(kp2[i]) + MASK) - b[i] + c
+            outs.append(v & MASK)
+            c = v >> W
+        return jnp.stack(outs)
 
     def mul_small(self, a, k: int):
-        """a * k for a small positive Python int k (k <= 1024)."""
-        assert 1 <= k <= 1024
+        """a * k for small positive Python int k (<= 2^6). Bound: k*bound(a)."""
+        assert 1 <= k <= 64
         if k == 1:
             return a
-        cols = a * _U32(k)                     # limbs < 2^26
-        s = self._carry(cols, extra=1)         # (n+1) exact limbs, value < k*p
-        # Reduce v < k*p to [0, p) by conditionally subtracting 2^j * p for
-        # j = floor(log2(k-1)) .. 0 (invariant: v < 2^(j+1) * p).
-        for j in range(max((k - 1).bit_length() - 1, 0), -1, -1):
+        return self._carry(a * _U32(k))
+
+    def fold(self, a):
+        """Cheap partial reduction: fold the top limb back mod p.
+
+        For a with exact limbs and any value < capacity, returns
+        a' = (a mod 2^(16(n-1))) + floor(a / 2^(16(n-1))) * (2^(16(n-1)) mod p)
+        which is congruent mod p and bounded by 2^(16(n-1)) + (bound/2^(16(n-1))) * p.
+        Used to keep scan-carried values bound-stable without a full reduce.
+        """
+        nl = self.n
+        c_fold = int_to_limbs((1 << (W * (nl - 1))) % self.p, nl - 1)
+        c_col = jnp.asarray(
+            c_fold.reshape((nl - 1,) + (1,) * (a.ndim - 1)))
+        hi = a[nl - 1]
+        prod = hi * c_col                      # (nl-1, ...), exact 16x16
+        cols = jnp.concatenate(
+            [a[:nl - 1] + (prod & MASK), jnp.zeros_like(a[:1])], axis=0)
+        cols = cols.at[1:nl].add(prod >> W)
+        return self._carry(cols)
+
+    # ------------------------------------------------- normalization & tests
+
+    def normalize(self, a, k: int = 2):
+        """Canonical value in [0, p) for bound(a) <= k*p (static small k)."""
+        s = a
+        j = max((k - 1).bit_length() - 1, 0)
+        for jj in range(j, -1, -1):
             ph = jnp.broadcast_to(
-                jnp.asarray(int_to_limbs((1 << j) * self.p, self.n + 1))
-                .reshape((self.n + 1,) + (1,) * (s.ndim - 1)), s.shape)
+                self._const((1 << jj) * self.p, a.ndim), s.shape)
             d, borrow = self._sub_borrow(s, ph)
             s = jnp.where(borrow.astype(bool)[None], s, d)
-        return s[: self.n]
+        return s
 
-    # ----------------------------------------------------------- predicates
+    def is_zero(self, a, k: int = 2):
+        """a == 0 mod p, for bound(a) <= k*p: compare against 0, p, .. (k-.)p."""
+        zero = jnp.all(a == 0, axis=0)
+        for m in range(1, k):
+            mp = self._const(m * self.p, a.ndim)
+            zero = zero | jnp.all(a == mp, axis=0)
+        return zero
 
-    def is_zero(self, a):
-        return jnp.all(a == 0, axis=0)
-
-    def eq(self, a, b):
-        return jnp.all(a == b, axis=0)
+    def eq(self, a, b, k: int = 2):
+        """a == b mod p for bounds <= k*p each."""
+        d = self.sub(a, b, k=k)            # bound 2k*p
+        return self.is_zero(d, k=2 * k)
 
     @staticmethod
     def select(mask, a, b):
@@ -231,8 +306,9 @@ class PrimeField:
         return self._mont_mul(a, jnp.broadcast_to(r2, a.shape))
 
     def from_mont(self, a):
+        """Montgomery -> standard form, canonically reduced to [0, p)."""
         one = self._const(1, a.ndim)
-        return self._mont_mul(a, jnp.broadcast_to(one, a.shape))
+        return self.normalize(self._mont_mul(a, jnp.broadcast_to(one, a.shape)))
 
     def from_ints(self, values) -> jnp.ndarray:
         """Python ints -> Montgomery-form device array (n, len(values))."""
@@ -240,13 +316,12 @@ class PrimeField:
         return self.to_mont(jnp.asarray(arr))
 
     def from_int(self, value: int) -> jnp.ndarray:
-        """Python int -> Montgomery-form device array (n,)."""
         arr = int_to_limbs(value % self.p, self.n)
         return self.to_mont(jnp.asarray(arr))
 
     def to_ints(self, a) -> list:
-        """Montgomery-form device array (n, B) -> list of Python ints."""
-        std = np.asarray(self.from_mont(a))
+        """Montgomery-form device array (n, *batch) -> flat list of ints."""
+        std = np.asarray(jax.jit(self.from_mont)(a))
         if std.ndim == 1:
             return [limbs_to_int(std)]
         flat = std.reshape(self.n, -1)
@@ -256,8 +331,8 @@ class PrimeField:
         return self.to_ints(a)[0]
 
 
-# Field instances for BLS12-381.
+# Field instances for BLS12-381 (extra limb = redundant-representation room).
 from . import bls12_381 as _c
 
-FQ = PrimeField(_c.P, 24, "Fq")    # 384-bit capacity for the 381-bit modulus
-FR = PrimeField(_c.R, 16, "Fr")    # 256-bit capacity for the 255-bit modulus
+FQ = PrimeField(_c.P, 25, "Fq")    # 400-bit capacity for the 381-bit modulus
+FR = PrimeField(_c.R, 17, "Fr")    # 272-bit capacity for the 255-bit modulus

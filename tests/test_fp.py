@@ -49,7 +49,7 @@ def test_mul(F):
 def test_mul_small(F):
     va = rand_ints(F, 8, 6) + [0, F.p - 1]
     a = F.from_ints(va)
-    for k in (1, 2, 3, 4, 8, 12, 1024):
+    for k in (1, 2, 3, 4, 8, 12, 64):
         assert F.to_ints(F.mul_small(a, k)) == [(x * k) % F.p for x in va]
 
 
