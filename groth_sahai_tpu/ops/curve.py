@@ -78,16 +78,17 @@ class Curve:
         """
         F = self.F
         X1, Y1, Z1 = p
-        A = F.sqr(X1)                                   # < 2p
-        B = F.sqr(Y1)                                   # < 2p
-        Cc = F.sqr(B)                                   # < 2p
-        D = F.double(F.sub(F.sub(F.sqr(F.add(X1, B)), A, k=2), Cc, k=2))  # < 12p
+        t = F.mul(F.stack([X1, Y1, Y1]), F.stack([X1, Y1, Z1]))
+        A, B, YZ = F.unstack(t, 3)                      # X1^2, Y1^2, Y1 Z1 < 2p
+        t = F.sqr(F.stack([B, F.add(X1, B)]))
+        Cc, S = F.unstack(t, 2)                         # B^2, (X1+B)^2 < 2p
+        D = F.double(F.sub(F.sub(S, A, k=2), Cc, k=2))  # < 12p
         E = F.add(F.double(A), A)                       # < 6p
         Ff = F.sqr(E)                                   # < 2p
         X3 = F.sub(Ff, F.double(D), k=32)               # < 34p
         Y3 = F.sub(F.mul(E, F.sub(D, X3, k=64)),
                    F.double(F.double(F.double(Cc))), k=16)   # < 18p
-        Z3 = F.double(F.mul(Y1, Z1))                    # < 4p
+        Z3 = F.double(YZ)                               # < 4p
         return (X3, Y3, Z3)
 
     def add(self, p, q):
@@ -95,21 +96,23 @@ class Curve:
         F = self.F
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q
-        Z1Z1 = F.sqr(Z1)
-        Z2Z2 = F.sqr(Z2)
-        U1 = F.mul(X1, Z2Z2)                            # < 2p
-        U2 = F.mul(X2, Z1Z1)
-        S1 = F.mul(F.mul(Y1, Z2), Z2Z2)                 # < 2p
-        S2 = F.mul(F.mul(Y2, Z1), Z1Z1)
+        t = F.sqr(F.stack([Z1, Z2]))
+        Z1Z1, Z2Z2 = F.unstack(t, 2)
+        t = F.mul(F.stack([X1, X2, Y1, Y2]), F.stack([Z2Z2, Z1Z1, Z2, Z1]))
+        U1, U2, Y1Z2, Y2Z1 = F.unstack(t, 4)            # < 2p
+        t = F.mul(F.stack([Y1Z2, Y2Z1]), F.stack([Z2Z2, Z1Z1]))
+        S1, S2 = F.unstack(t, 2)                        # < 2p
         H = F.sub(U2, U1, k=2)                          # < 4p
-        I = F.sqr(F.double(H))                          # < 2p
-        J = F.mul(H, I)                                 # < 2p
         r = F.double(F.sub(S2, S1, k=2))                # < 8p
-        V = F.mul(U1, I)                                # < 2p
-        X3 = F.sub(F.sub(F.sqr(r), J, k=2), F.double(V), k=4)      # < 10p
-        Y3 = F.sub(F.mul(r, F.sub(V, X3, k=16)),
-                   F.double(F.mul(S1, J)), k=4)         # < 6p
-        Z3 = F.mul(F.sub(F.sub(F.sqr(F.add(Z1, Z2)), Z1Z1, k=2), Z2Z2, k=2), H)
+        t = F.sqr(F.stack([F.double(H), r, F.add(Z1, Z2)]))
+        I, r2, ZZ = F.unstack(t, 3)                     # < 2p
+        t = F.mul(F.stack([H, U1]), F.stack([I, I]))
+        J, V = F.unstack(t, 2)                          # < 2p
+        X3 = F.sub(F.sub(r2, J, k=2), F.double(V), k=4)             # < 10p
+        t = F.mul(F.stack([r, S1]), F.stack([F.sub(V, X3, k=16), J]))
+        rVX, S1J = F.unstack(t, 2)
+        Y3 = F.sub(rVX, F.double(S1J), k=4)             # < 6p
+        Z3 = F.mul(F.sub(F.sub(ZZ, Z1Z1, k=2), Z2Z2, k=2), H)
         res = (X3, Y3, Z3)
 
         # Exceptional cases.
@@ -132,18 +135,20 @@ class Curve:
         # Input coordinate bounds: X1 < 34p, Y1 < 18p, Z1 < 4p (double()
         # outputs), affine x2, y2 < 2p. All sqr/mul products stay < 2^16 p^2.
         Z1Z1 = F.sqr(Z1)
-        U2 = F.mul(x2, Z1Z1)                            # < 2p
-        S2 = F.mul(F.mul(y2, Z1), Z1Z1)                 # < 2p
+        t = F.mul(F.stack([x2, y2]), F.stack([Z1Z1, F.mul(Z1, Z1Z1)]))
+        U2, S2 = F.unstack(t, 2)                        # < 2p
         H = F.sub(U2, X1, k=64)                         # < 66p
-        HH = F.sqr(H)                                   # < 2p
-        I = F.double(F.double(HH))                      # < 8p
-        J = F.mul(H, I)                                 # < 2p
         r = F.double(F.sub(S2, Y1, k=32))               # < 68p
-        V = F.mul(X1, I)                                # < 2p
-        X3 = F.sub(F.sub(F.sqr(r), J, k=2), F.double(V), k=4)     # < 10p
-        Y3 = F.sub(F.mul(r, F.sub(V, X3, k=16)),
-                   F.double(F.mul(Y1, J)), k=4)         # < 6p
-        Z3 = F.sub(F.sub(F.sqr(F.add(Z1, H)), Z1Z1, k=2), HH, k=2)  # < 6p
+        t = F.sqr(F.stack([H, r, F.add(Z1, H)]))
+        HH, r2, ZH = F.unstack(t, 3)                    # < 2p
+        I = F.double(F.double(HH))                      # < 8p
+        t = F.mul(F.stack([H, X1]), F.stack([I, I]))
+        J, V = F.unstack(t, 2)                          # < 2p
+        X3 = F.sub(F.sub(r2, J, k=2), F.double(V), k=4)            # < 10p
+        t = F.mul(F.stack([r, Y1]), F.stack([F.sub(V, X3, k=16), J]))
+        rVX, YJ = F.unstack(t, 2)
+        Y3 = F.sub(rVX, F.double(YJ), k=4)              # < 6p
+        Z3 = F.sub(F.sub(ZH, Z1Z1, k=2), HH, k=2)       # < 6p
         res = (X3, Y3, Z3)
 
         p_inf = self.is_inf(p)
@@ -198,10 +203,9 @@ class Curve:
     def on_curve_affine(self, a):
         F = self.F
         x, y, inf = a
+        nb = len(np.shape(inf))
         bb = jax.tree_util.tree_map(
-            lambda l: jnp.broadcast_to(
-                l.reshape(l.shape[:1] + (1,) * len(np.shape(inf))),
-                l.shape[:1] + np.shape(inf)), self.b)
+            lambda l: l.reshape(l.shape + (1,) * nb), self.b)
         rhs = F.add(F.mul(F.sqr(x), x), bb)
         return inf | F.eq(F.sqr(y), rhs, k=4)
 

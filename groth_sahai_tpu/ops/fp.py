@@ -78,29 +78,29 @@ class PrimeField:
         """Exact carry propagation along axis 0 (columns < 2^26 -> 16-bit).
 
         The final carry out of the top limb must be zero (value < capacity);
-        callers guarantee this via the bound discipline.
+        callers guarantee this via the bound discipline. Scanned (sequential
+        chain) with partial unroll.
         """
-        ncols = cols.shape[0] if hasattr(cols, "shape") else len(cols)
-        xs = [cols[i] for i in range(ncols)]
-        outs = []
-        c = jnp.zeros_like(xs[0])
-        for i in range(ncols):
-            v = xs[i] + c
-            outs.append(v & MASK)
-            c = v >> W
-        return jnp.stack(outs)
+        if not hasattr(cols, "shape"):
+            cols = jnp.stack(cols)
+
+        def body(c, x):
+            v = x + c
+            return v >> W, v & MASK
+
+        _, out = lax.scan(body, jnp.zeros_like(cols[0]), cols, unroll=8)
+        return out
 
     @staticmethod
     def _sub_borrow(a, b):
         """(a - b) limbwise (equal length); returns (diff, borrow_out in {0,1})."""
-        nl = a.shape[0]
-        outs = []
-        borrow = jnp.zeros_like(a[0])
-        for i in range(nl):
-            v = a[i] + _U32(1 << W) - b[i] - borrow
-            outs.append(v & MASK)
-            borrow = _U32(1) - (v >> W)
-        return jnp.stack(outs), borrow
+        def body(borrow, ab):
+            ai, bi = ab
+            v = ai + _U32(1 << W) - bi - borrow
+            return _U32(1) - (v >> W), v & MASK
+
+        borrow, out = lax.scan(body, jnp.zeros_like(a[0]), (a, b), unroll=8)
+        return out, borrow
 
     # ----------------------------------------------------------- field ops
 
@@ -113,16 +113,20 @@ class PrimeField:
 
         Bound of result: bound(a) + k*p. Single fused add/sub chain.
         """
-        kp = int_to_limbs(k * self.p, self.n)
-        nl = self.n
-        outs = []
-        c = jnp.zeros_like(a[0]) + _U32(1)          # +1 of the two's complement
-        for i in range(nl):
-            v = a[i] + _U32(int(kp[i]) + MASK) - b[i] + c
-            outs.append(v & MASK)
-            c = v >> W
-        # final carry out is exactly 1 (the 2^(16n) of the complement); drop it
-        return jnp.stack(outs)
+        kpm = jnp.asarray(
+            int_to_limbs(k * self.p, self.n).astype(np.int64) + MASK
+        ).astype(_U32).reshape((self.n,) + (1,) * (a.ndim - 1))
+        kpm = jnp.broadcast_to(kpm, a.shape)
+
+        def body(c, abk):
+            ai, bi, ki = abk
+            v = ai + ki - bi + c
+            return v >> W, v & MASK
+
+        b = jnp.broadcast_to(b, a.shape)
+        _, out = lax.scan(body, jnp.ones_like(a[0]), (a, b, kpm), unroll=8)
+        # final carry out is exactly 1 (the 2^(16n) of the complement); dropped
+        return out
 
     def neg(self, a, k: int = 2):
         """k*p - a with bound(a) <= k*p. Result bound: k*p."""
@@ -160,8 +164,17 @@ class PrimeField:
     # high-performance pairing libraries). Budget: wide values must stay
     # < 2^18 * p^2 so that redc input < p*R and output < 2p.
 
+    # Loop unroll factor for the scanned limb loops: keeps the XLA graph
+    # ~UNROLL x the single-step body while cutting while-loop overhead.
+    UNROLL = 5
+
     def mul_wide(self, a, b):
-        """Exact 2n+1-limb product a*b (16-bit limbs). No reduction."""
+        """Exact 2n+1-limb product a*b (16-bit limbs). No reduction.
+
+        The schoolbook outer loop runs as a `lax.scan` over the limbs of `a`
+        so the traced graph is O(one step), not O(n_limbs) -- crucial for
+        XLA compile times of pairing-sized programs.
+        """
         nl = self.n
         nd = max(a.ndim, b.ndim)
         if a.ndim < nd:
@@ -169,34 +182,58 @@ class PrimeField:
         if b.ndim < nd:
             b = b.reshape(b.shape[:1] + (1,) * (nd - b.ndim) + b.shape[1:])
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        a = jnp.broadcast_to(a, (nl,) + batch)
         b = jnp.broadcast_to(b, (nl,) + batch)
-        acc = jnp.zeros((2 * nl + 1,) + batch, dtype=_U32)
-        for i in range(nl):
-            prod = a[i] * b
-            acc = acc.at[i:i + nl].add(prod & MASK)
-            acc = acc.at[i + 1:i + nl + 1].add(prod >> W)
+        acc0 = jnp.zeros((2 * nl + 1,) + batch, dtype=_U32)
+        zrow = jnp.zeros((1,) + batch, dtype=_U32)
+        idx0 = (jnp.zeros((), jnp.int32),) * len(batch)
+
+        def body(acc_i, ai):
+            acc, i = acc_i
+            prod = ai * b                                    # (nl, *batch)
+            contrib = (jnp.concatenate([prod & MASK, zrow], 0)
+                       + jnp.concatenate([zrow, prod >> W], 0))  # (nl+1,...)
+            seg = lax.dynamic_slice(acc, (i,) + idx0,
+                                    (nl + 1,) + batch)
+            acc = lax.dynamic_update_slice(acc, seg + contrib, (i,) + idx0)
+            return (acc, i + 1), None
+
+        (acc, _), _ = lax.scan(body, (acc0, jnp.int32(0)), a,
+                               unroll=self.UNROLL)
         return self._carry(acc)
 
     def redc(self, t):
         """Montgomery-reduce a wide value: t * R^{-1} mod p, output < 2p.
 
-        Requires t < p*R (2n+1 exact limbs).
+        Requires t < p*R (2n+1 exact limbs). Scanned over limb index.
         """
         nl = self.n
         batch = t.shape[1:]
-        acc = t
-        p_col = self._const(self.p, 1 + len(batch))
-        carry = jnp.zeros(batch, dtype=_U32)
+        p_col = jnp.broadcast_to(self._const(self.p, 1 + len(batch)),
+                                 (nl,) + batch)
+        zrow = jnp.zeros((1,) + batch, dtype=_U32)
         n0 = _U32(self.n0)
-        for i in range(nl):
-            v = acc[i] + carry
+        idx0 = (jnp.zeros((), jnp.int32),) * len(batch)
+
+        def body(state, _):
+            acc, carry, i = state
+            v = lax.dynamic_index_in_dim(acc, i, 0, keepdims=False) + carry
             m = (v * n0) & MASK
-            mp = m * p_col
+            mp = m * p_col                                   # (nl, *batch)
             carry = (v + (mp[0] & MASK)) >> W
-            acc = acc.at[i + 1:i + nl].add(mp[1:] & MASK)
-            acc = acc.at[i + 1:i + nl + 1].add(mp >> W)
+            # columns i+1 .. i+nl: lo[1:] and hi[0:nl]
+            contrib = (jnp.concatenate([mp[1:] & MASK, zrow], 0)
+                       + (mp >> W))                          # (nl, *batch)
+            seg = lax.dynamic_slice(acc, (i + 1,) + idx0, (nl,) + batch)
+            acc = lax.dynamic_update_slice(acc, seg + contrib,
+                                           (i + 1,) + idx0)
+            return (acc, carry, i + 1), None
+
+        (acc, carry, _), _ = lax.scan(
+            body, (t, jnp.zeros(batch, dtype=_U32), jnp.int32(0)), None,
+            length=nl, unroll=self.UNROLL)
         res = acc[nl:2 * nl + 1]
-        res = res.at[0].add(carry)
+        res = jnp.concatenate([(res[0] + carry)[None], res[1:]], 0)
         return self._carry(res)[: nl]
 
     def add_wide(self, a, b):
@@ -209,14 +246,19 @@ class PrimeField:
     def sub_wide(self, a, b, k2: int = 1 << 8):
         """a - b + k2 * p^2 on wide values; requires bound(b) <= k2 * p^2."""
         nw = 2 * self.n + 1
-        kp2 = int_to_limbs(k2 * self.p * self.p, nw)
-        outs = []
-        c = jnp.zeros_like(a[0]) + _U32(1)
-        for i in range(nw):
-            v = a[i] + _U32(int(kp2[i]) + MASK) - b[i] + c
-            outs.append(v & MASK)
-            c = v >> W
-        return jnp.stack(outs)
+        kpm = jnp.asarray(
+            int_to_limbs(k2 * self.p * self.p, nw).astype(np.int64) + MASK
+        ).astype(_U32).reshape((nw,) + (1,) * (a.ndim - 1))
+        kpm = jnp.broadcast_to(kpm, a.shape)
+
+        def body(c, abk):
+            ai, bi, ki = abk
+            v = ai + ki - bi + c
+            return v >> W, v & MASK
+
+        b = jnp.broadcast_to(b, a.shape)
+        _, out = lax.scan(body, jnp.ones_like(a[0]), (a, b, kpm), unroll=8)
+        return out
 
     def mul_small(self, a, k: int):
         """a * k for small positive Python int k (<= 2^6). Bound: k*bound(a)."""
@@ -274,6 +316,17 @@ class PrimeField:
     def select(mask, a, b):
         """mask ? a : b, with mask shaped like the batch dims."""
         return jnp.where(mask[None], a, b)
+
+    # ---- stacking helpers: batch independent ops into one call -------------
+
+    @staticmethod
+    def stack(elems):
+        """Stack field elements along a new axis 1 (one fused op downstream)."""
+        return jnp.stack(elems, axis=1)
+
+    @staticmethod
+    def unstack(x, n):
+        return [x[:, i] for i in range(n)]
 
     # -------------------------------------------------------------- pow / inv
 

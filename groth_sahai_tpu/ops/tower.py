@@ -148,6 +148,15 @@ class _Fq2:
     def select(mask, a, b):
         return jnp.where(mask[None, None], a, b)
 
+    @staticmethod
+    def stack(elems):
+        """Stack Fq2 elements along a new axis 2 (after the pair axis)."""
+        return jnp.stack(elems, axis=2)
+
+    @staticmethod
+    def unstack(x, n):
+        return [x[:, :, i] for i in range(n)]
+
     def normalize(self, a, k: int = 8):
         return FQ.normalize(a, k=k)
 
