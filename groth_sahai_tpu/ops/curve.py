@@ -32,10 +32,11 @@ from . import bls12_381 as C
 class Curve:
     """y^2 = x^3 + b over `field` (a = 0, as for BLS12-381 G1/G2)."""
 
-    def __init__(self, field, b_const, name=""):
+    def __init__(self, field, b_const, name="", ns=1):
         self.F = field
         self.b = b_const          # field element constant (unbatched)
         self.name = name
+        self.ns = ns              # field structure axes on coordinate arrays
 
     # ------------------------------------------------------------ structure
 
@@ -248,34 +249,34 @@ class Curve:
         return self.sum_reduce(prods, axis=0)
 
     def sum_reduce(self, p_jac, axis: int = 0):
-        """Tree-reduce a batch axis of Jacobian points with the group law."""
-        def batch_ax(leaf_ax):
-            return axis + 1  # leaves carry the limb axis in front
+        """Tree-reduce a batch axis of Jacobian points with the group law.
 
+        `axis` counts batch dims (coordinate leaves carry self.ns structure
+        axes in front).
+        """
+        ax = self.ns + axis
         pts = p_jac
-        size = jax.tree_util.tree_leaves(pts)[0].shape[1 + axis]
+        size = jax.tree_util.tree_leaves(pts)[0].shape[ax]
         while size > 1:
             half = size // 2
             even = jax.tree_util.tree_map(
-                lambda l: lax.slice_in_dim(l, 0, half, axis=1 + axis), pts)
+                lambda l: lax.slice_in_dim(l, 0, half, axis=ax), pts)
             odd = jax.tree_util.tree_map(
-                lambda l: lax.slice_in_dim(l, half, 2 * half, axis=1 + axis),
-                pts)
+                lambda l: lax.slice_in_dim(l, half, 2 * half, axis=ax), pts)
             summed = self.add(even, odd)
             if size % 2:
                 rest = jax.tree_util.tree_map(
-                    lambda l: lax.slice_in_dim(l, 2 * half, size, axis=1 + axis),
+                    lambda l: lax.slice_in_dim(l, 2 * half, size, axis=ax),
                     pts)
                 summed = jax.tree_util.tree_map(
-                    lambda a, b: jnp.concatenate([a, b], axis=1 + axis),
+                    lambda a, b: jnp.concatenate([a, b], axis=ax),
                     summed, rest)
                 size = half + 1
             else:
                 size = half
             pts = summed
         return jax.tree_util.tree_map(
-            lambda l: lax.index_in_dim(l, 0, axis=1 + axis, keepdims=False),
-            pts)
+            lambda l: lax.index_in_dim(l, 0, axis=ax, keepdims=False), pts)
 
 
 # ---------------------------------------------------------------------------
@@ -285,10 +286,10 @@ class Curve:
 from .fp import FQ
 from .tower import FQ2
 
-G1 = Curve(FQ, None, "G1")
+G1 = Curve(FQ, None, "G1", ns=1)
 G1.b = FQ.from_int(C.B_G1)
 
-G2 = Curve(FQ2, None, "G2")
+G2 = Curve(FQ2, None, "G2", ns=2)
 G2.b = FQ2.from_int_pair(*C.B_G2)
 
 

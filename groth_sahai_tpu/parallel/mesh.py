@@ -1,0 +1,28 @@
+"""Device mesh helpers.
+
+The reference's only parallelism is single-process rayon fork-join
+(data_structures.rs:658-675). The TPU framework's first-class analogue
+(SURVEY.md section 2c) is one `jax.sharding.Mesh` spanning the slice;
+points/equations shard over it, XLA collectives do the reductions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "chips") -> Mesh:
+    """A 1-D mesh over the first n_devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(mesh: Mesh, arr, batch_axis_in_array: int, axis: str = "chips"):
+    """NamedSharding placing `batch_axis_in_array` on the mesh axis."""
+    spec = [None] * arr.ndim
+    spec[batch_axis_in_array] = axis
+    return jax.device_put(arr, NamedSharding(mesh, P(*spec)))

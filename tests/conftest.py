@@ -9,8 +9,12 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# Cap the CPU ISA so persistent-cache AOT entries reload cleanly (the
+# container's cpuid advertises features the AOT loader then rejects).
+if "xla_cpu_max_isa" not in flags:
+    flags += " --xla_cpu_max_isa=AVX2"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
