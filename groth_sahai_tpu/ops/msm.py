@@ -66,10 +66,6 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 4,
 
     # reshape points to (rows, lanes)
     ns = curve.ns
-    pts = jax.tree_util.tree_map(
-        lambda l: l.reshape(l.shape[:ns] + (rows, lanes))
-        if l.ndim > 1 else l.reshape(rows, lanes), points_aff[0:2]) + \
-        (points_aff[2].reshape(rows, lanes),)
     pts = (points_aff[0].reshape(points_aff[0].shape[:ns] + (rows, lanes)),
            points_aff[1].reshape(points_aff[1].shape[:ns] + (rows, lanes)),
            points_aff[2].reshape(rows, lanes))
@@ -88,9 +84,6 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 4,
                   jnp.broadcast_to(pinf[None, :], (n_windows, pinf.shape[-1])))
         # gather current bucket values at (window, lane, digit)
         idx = dig_row                                  # (W, lanes)
-        cur = jax.tree_util.tree_map(
-            lambda l: jnp.take_along_axis(l, _exp_idx(l, idx, curve), axis=-1)
-            .squeeze(-1) if False else l, buckets)
         cur = _bucket_gather(curve, buckets, idx)
         # treat digit 0 as "skip": add infinity instead of the point
         skip = (idx == 0) | pt_row[2]
@@ -136,29 +129,24 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 4,
 
 
 def _bucket_gather(curve, buckets, idx):
-    """buckets (..., W, lanes, nbuck) gathered at idx (W, lanes)."""
+    """Jacobian buckets (leaves (*struct, W, lanes, nbuck)) at idx (W, lanes)."""
     def g(l):
-        # l: (*struct, W, lanes, nbuck); idx broadcast over struct axes
         ii = idx.reshape((1,) * (l.ndim - 3) + idx.shape + (1,))
-        ii = jnp.broadcast_to(ii, l.shape[:-1] + (1,))
+        ii = jnp.broadcast_to(ii, l.shape[:-1] + (1,)).astype(jnp.int32)
         return jnp.take_along_axis(l, ii, axis=-1).squeeze(-1)
 
-    return (g(buckets[0]), g(buckets[1]),
-            jnp.take_along_axis(buckets[2], idx[..., None],
-                                axis=-1).squeeze(-1))
+    return tuple(g(l) for l in buckets)
 
 
 def _bucket_scatter(curve, buckets, idx, new):
     """Write `new` (jacobian, (W, lanes) batch) into buckets at idx."""
     def s(l, v):
         ii = idx.reshape((1,) * (l.ndim - 3) + idx.shape + (1,))
-        ii = jnp.broadcast_to(ii, l.shape[:-1] + (1,))
+        ii = jnp.broadcast_to(ii, l.shape[:-1] + (1,)).astype(jnp.int32)
         return jnp.put_along_axis(l, ii, v[..., None], axis=-1,
                                   inplace=False)
 
-    return (s(buckets[0], new[0]), s(buckets[1], new[1]),
-            jnp.put_along_axis(buckets[2], idx[..., None], new[2][..., None],
-                               axis=-1, inplace=False))
+    return tuple(s(l, v) for l, v in zip(buckets, new))
 
 
 def msm_curve(curve: Curve, points_aff, scalars_std, window: int = 4,

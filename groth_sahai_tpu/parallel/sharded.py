@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
 
 from ..ops.fp import FR
 from ..ops.curve import G1, G2
@@ -48,7 +48,8 @@ def sharded_msm(mesh: Mesh, curve, points_aff, scalars_std,
                    jnp.moveaxis(gz, 0, ns))
         return curve.sum_reduce(stacked, axis=0)
 
-    f = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    f = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
     return f(points_aff, scalars_std)
 
 
@@ -69,5 +70,6 @@ def sharded_multi_pairing(mesh: Mesh, p_aff, q_aff, axis: str = "chips"):
         g = jnp.moveaxis(g, 0, 2)               # (nl, 12, D)
         return pr._product_reduce(g, axis=0)
 
-    f = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    f = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
     return pr.final_exp(f(p_aff, q_aff))
