@@ -27,6 +27,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache (helps repeated driver runs)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 ARKWORKS_PAIRINGS_PER_SEC = 900.0      # ~1.1 ms/pairing, 1 CPU core
 ARKWORKS_MSM_POINTS_PER_SEC = 1.0e6    # typical arkworks G1 MSM throughput
 
