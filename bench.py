@@ -33,6 +33,8 @@ try:
                       os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # zstandard cache writes can segfault on large executables; use zlib
+    jax.config.update("jax_compilation_cache_compression_algorithm", "zlib")
 except Exception:
     pass
 

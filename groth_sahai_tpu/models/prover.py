@@ -106,6 +106,24 @@ def batch_commit_scalar_B2(scalar_yvars, crs: CRS,
                                        scalar_yvars, rand), rand=rand)
 
 
+def append_commit1(a: Commit1, b: Commit1) -> Commit1:
+    """Commit::append (commit.rs:42-52): concatenate commitment vectors.
+
+    Both halves must have the same randomness width (group commits w=2,
+    scalar commits w=1) — the reference's ragged Vec<Vec<Fr>> rand matrix
+    maps to a rectangular limb array here.
+    """
+    assert a.rand.shape[-1] == b.rand.shape[-1], "mixed commit kinds"
+    return Commit1(coms=cg.aff_concat(G1, [a.coms, b.coms], axis=1),
+                   rand=jnp.concatenate([a.rand, b.rand], axis=1))
+
+
+def append_commit2(a: Commit2, b: Commit2) -> Commit2:
+    assert a.rand.shape[-1] == b.rand.shape[-1], "mixed commit kinds"
+    return Commit2(coms=cg.aff_concat(G2, [a.coms, b.coms], axis=1),
+                   rand=jnp.concatenate([a.rand, b.rand], axis=1))
+
+
 # ---------------------------------------------------------------------------
 # Proofs
 # ---------------------------------------------------------------------------

@@ -329,6 +329,261 @@ def proof_to_bytes(proof, compressed=True) -> bytes:
     return out
 
 
+def _aff_single(curve_ns, a):
+    """Affine point batch () -> batch (1,) for the *_to_ints helpers."""
+    return tuple(np.asarray(l)[..., None] for l in a[:2]) + (
+        np.asarray(a[2])[None],)
+
+
+def g1_to_bytes(a, compressed=True) -> bytes:
+    """Single G1 affine (batch ()) -> arkworks bytes."""
+    return g1_point_to_bytes(g1_affine_to_ints(_aff_single(1, a))[0],
+                             compressed)
+
+
+def g2_to_bytes(a, compressed=True) -> bytes:
+    return g2_point_to_bytes(g2_affine_to_ints(_aff_single(2, a))[0],
+                             compressed)
+
+
+def g1_vec_to_bytes(a, compressed=True) -> bytes:
+    """G1 affine batch (K,) -> Vec<G1Affine> bytes."""
+    pts = g1_affine_to_ints(a)
+    return _vec_prefix(len(pts)) + b"".join(
+        g1_point_to_bytes(p, compressed) for p in pts)
+
+
+def g2_vec_to_bytes(a, compressed=True) -> bytes:
+    pts = g2_affine_to_ints(a)
+    return _vec_prefix(len(pts)) + b"".join(
+        g2_point_to_bytes(p, compressed) for p in pts)
+
+
+def g1_vec_from_bytes(b: bytes, off=0, compressed=True):
+    k, off = _read_prefix(b, off)
+    size = 48 if compressed else 96
+    pts = []
+    for _ in range(k):
+        pts.append(g1_point_from_bytes(b[off:off + size], compressed))
+        off += size
+    return g1_affine_from_ints(pts), off
+
+
+def g2_vec_from_bytes(b: bytes, off=0, compressed=True):
+    k, off = _read_prefix(b, off)
+    size = 96 if compressed else 192
+    pts = []
+    for _ in range(k):
+        pts.append(g2_point_from_bytes(b[off:off + size], compressed))
+        off += size
+    return g2_affine_from_ints(pts), off
+
+
+# ---------------------------------------------------------------------------
+# Fr vectors / matrices (Vec<F> and Matrix<F> = Vec<Vec<F>>)
+# ---------------------------------------------------------------------------
+
+def _fr_limbs_to_int_list(std):
+    from ..ops.limbs import limbs_to_ints
+    arr = np.asarray(std)
+    flat = arr.reshape(arr.shape[0], -1)
+    return limbs_to_ints(flat)
+
+
+def fr_vec_to_bytes(std) -> bytes:
+    """uint32[17, K] canonical std-form -> Vec<Fr> bytes."""
+    vals = _fr_limbs_to_int_list(std)
+    return _vec_prefix(len(vals)) + b"".join(fr_to_bytes(v) for v in vals)
+
+
+def fr_vec_from_bytes(b: bytes, off=0):
+    import jax.numpy as jnp
+    k, off = _read_prefix(b, off)
+    vals = []
+    for _ in range(k):
+        vals.append(fr_from_bytes(b[off:off + 32])); off += 32
+    return jnp.asarray(ints_to_limbs(vals, FR.n)), off
+
+
+def fr_mat_to_bytes(std) -> bytes:
+    """uint32[17, I, J] -> Matrix<Fr> (Vec<Vec<Fr>>, row-major) bytes."""
+    arr = np.asarray(std)
+    I, J = arr.shape[1], arr.shape[2]
+    out = _vec_prefix(I)
+    for i in range(I):
+        out += fr_vec_to_bytes(arr[:, i, :])
+    return out
+
+
+def fr_mat_from_bytes(b: bytes, off=0):
+    import jax.numpy as jnp
+    I, off = _read_prefix(b, off)
+    rows = []
+    for _ in range(I):
+        row, off = fr_vec_from_bytes(b, off)
+        rows.append(row)
+    if not rows:
+        return jnp.zeros((FR.n, 0, 0), dtype=jnp.uint32), off
+    return jnp.stack(rows, axis=1), off
+
+
+# ---------------------------------------------------------------------------
+# Commit1 / Commit2 (coms + randomness; commit.rs:18-28 derives)
+# ---------------------------------------------------------------------------
+
+def commit1_to_bytes(c, compressed=True) -> bytes:
+    """Commit1 { coms: Vec<Com1>, rand: Matrix<Fr> } wire format."""
+    return com1_vec_to_bytes(c.coms, compressed) + fr_mat_to_bytes(c.rand)
+
+
+def commit2_to_bytes(c, compressed=True) -> bytes:
+    return com2_vec_to_bytes(c.coms, compressed) + fr_mat_to_bytes(c.rand)
+
+
+def commit1_from_bytes(b: bytes, off=0, compressed=True):
+    from ..models.prover import Commit1
+    coms, off = com1_vec_from_bytes(b, off, compressed)
+    rand, off = fr_mat_from_bytes(b, off)
+    return Commit1(coms=coms, rand=rand), off
+
+
+def commit2_from_bytes(b: bytes, off=0, compressed=True):
+    from ..models.prover import Commit2
+    coms, off = com2_vec_from_bytes(b, off, compressed)
+    rand, off = fr_mat_from_bytes(b, off)
+    return Commit2(coms=coms, rand=rand), off
+
+
+# ---------------------------------------------------------------------------
+# Equations (statement.rs:117 derives; field order a, b, gamma, target)
+# ---------------------------------------------------------------------------
+
+def _gt_dev_to_bytes(t):
+    return gt_to_bytes(FQ12.to_ints(t[..., None])[0])
+
+
+def equ_to_bytes(equ, compressed=True, tagged=True) -> bytes:
+    """Equation wire format; `tagged` prepends the 1-byte EquType
+    (statement.rs:61-97) so a single reader can dispatch. Untagged output
+    matches the reference's per-type derive layout."""
+    from ..models.statement import EquType
+    ty = equ.equ_type
+    out = bytes([int(ty)]) if tagged else b""
+    if ty == EquType.PairingProduct:
+        out += g1_vec_to_bytes(equ.a_consts, compressed)
+        out += g2_vec_to_bytes(equ.b_consts, compressed)
+        out += fr_mat_to_bytes(equ.gamma)
+        out += _gt_dev_to_bytes(equ.target)
+    elif ty == EquType.MultiScalarG1:
+        out += g1_vec_to_bytes(equ.a_consts, compressed)
+        out += fr_vec_to_bytes(equ.b_consts)
+        out += fr_mat_to_bytes(equ.gamma)
+        out += g1_to_bytes(equ.target, compressed)
+    elif ty == EquType.MultiScalarG2:
+        out += fr_vec_to_bytes(equ.a_consts)
+        out += g2_vec_to_bytes(equ.b_consts, compressed)
+        out += fr_mat_to_bytes(equ.gamma)
+        out += g2_to_bytes(equ.target, compressed)
+    else:
+        out += fr_vec_to_bytes(equ.a_consts)
+        out += fr_vec_to_bytes(equ.b_consts)
+        out += fr_mat_to_bytes(equ.gamma)
+        vals = _fr_limbs_to_int_list(equ.target[:, None])
+        out += fr_to_bytes(vals[0])
+    return out
+
+
+def equ_from_bytes(b: bytes, off=0, compressed=True, equ_type=None):
+    """Read an equation; if equ_type is None the stream is tagged."""
+    from ..models.statement import (EquType, PPE, MSMEG1, MSMEG2, QuadEqu)
+    import jax.numpy as jnp
+    if equ_type is None:
+        equ_type = EquType(b[off]); off += 1
+    ty = EquType(equ_type)
+    if ty == EquType.PairingProduct:
+        a, off = g1_vec_from_bytes(b, off, compressed)
+        bc, off = g2_vec_from_bytes(b, off, compressed)
+        g, off = fr_mat_from_bytes(b, off)
+        t12 = gt_from_bytes(b[off:off + 576]); off += 576
+        t = FQ12.from_ints([t12])[:, :, 0]
+        return PPE(a_consts=a, b_consts=bc, gamma=g, target=t), off
+    if ty == EquType.MultiScalarG1:
+        a, off = g1_vec_from_bytes(b, off, compressed)
+        bc, off = fr_vec_from_bytes(b, off)
+        g, off = fr_mat_from_bytes(b, off)
+        size = 48 if compressed else 96
+        pt = g1_point_from_bytes(b[off:off + size], compressed); off += size
+        t = g1_affine_from_ints([pt])
+        t = tuple(l[..., 0] for l in t)
+        return MSMEG1(a_consts=a, b_consts=bc, gamma=g, target=t), off
+    if ty == EquType.MultiScalarG2:
+        a, off = fr_vec_from_bytes(b, off)
+        bc, off = g2_vec_from_bytes(b, off, compressed)
+        g, off = fr_mat_from_bytes(b, off)
+        size = 96 if compressed else 192
+        pt = g2_point_from_bytes(b[off:off + size], compressed); off += size
+        t = g2_affine_from_ints([pt])
+        t = tuple(l[..., 0] for l in t)
+        return MSMEG2(a_consts=a, b_consts=bc, gamma=g, target=t), off
+    a, off = fr_vec_from_bytes(b, off)
+    bc, off = fr_vec_from_bytes(b, off)
+    g, off = fr_mat_from_bytes(b, off)
+    tv = fr_from_bytes(b[off:off + 32]); off += 32
+    t = jnp.asarray(ints_to_limbs([tv], FR.n))[:, 0]
+    return QuadEqu(a_consts=a, b_consts=bc, gamma=g, target=t), off
+
+
+# ---------------------------------------------------------------------------
+# CRS reader + CProof (framework extension; reference CProof has no serde)
+# ---------------------------------------------------------------------------
+
+def crs_from_bytes(b: bytes, off=0, compressed=True):
+    """Read a CRS (generator.rs:36-42 field order); recomputes the iota'
+    base elements u2+(O,g1) / v2+(O,g2) which are derived, not serialized."""
+    from ..models.crs import CRS
+    from ..models import commit_group as cg
+    from ..ops.curve import G1, G2
+    u, off = com1_vec_from_bytes(b, off, compressed)
+    v, off = com2_vec_from_bytes(b, off, compressed)
+    size1 = 48 if compressed else 96
+    g1pt = g1_point_from_bytes(b[off:off + size1], compressed); off += size1
+    size2 = 96 if compressed else 192
+    g2pt = g2_point_from_bytes(b[off:off + size2], compressed); off += size2
+    gt12 = gt_from_bytes(b[off:off + 576]); off += 576
+    g1a = g1_affine_from_ints([g1pt])
+    g1a = tuple(l[..., 0] for l in g1a)
+    g2a = g2_affine_from_ints([g2pt])
+    g2a = tuple(l[..., 0] for l in g2a)
+    gt = FQ12.from_ints([gt12])[:, :, 0]
+    u_base = cg.iota_prime_base(G1, u, g1a)
+    v_base = cg.iota_prime_base(G2, v, g2a)
+    return CRS(u=u, v=v, g1_gen=g1a, g2_gen=g2a, gt_gen=gt,
+               u_base=u_base, v_base=v_base), off
+
+
+def cproof_to_bytes(cp, compressed=True) -> bytes:
+    """CProof { xcoms, ycoms, equ_proofs } (prove.rs:64-69; the reference
+    derives no serde for CProof -- this framing is ours)."""
+    out = commit1_to_bytes(cp.xcoms, compressed)
+    out += commit2_to_bytes(cp.ycoms, compressed)
+    out += _vec_prefix(len(cp.equ_proofs))
+    for p in cp.equ_proofs:
+        out += proof_to_bytes(p, compressed)
+    return out
+
+
+def cproof_from_bytes(b: bytes, off=0, compressed=True):
+    from ..models.prover import CProof
+    xcoms, off = commit1_from_bytes(b, off, compressed)
+    ycoms, off = commit2_from_bytes(b, off, compressed)
+    k, off = _read_prefix(b, off)
+    proofs = []
+    for _ in range(k):
+        p, off = proof_from_bytes(b, off, compressed)
+        proofs.append(p)
+    return CProof(xcoms=xcoms, ycoms=ycoms, equ_proofs=proofs), off
+
+
 def proof_from_bytes(b: bytes, off=0, compressed=True):
     from ..models.prover import EquProof
     from ..models.statement import EquType

@@ -27,3 +27,9 @@ _cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The default zstandard compressor segfaults writing some large executables
+# (observed in compilation_cache.put_executable_and_time); zlib is stable.
+try:
+    jax.config.update("jax_compilation_cache_compression_algorithm", "zlib")
+except Exception:
+    pass
