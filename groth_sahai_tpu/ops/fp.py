@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .limbs import W, MASK, int_to_limbs, ints_to_limbs, limbs_to_int, limbs_to_ints
+from . import pallas_fp
 
 _U32 = jnp.uint32
 
@@ -151,6 +152,11 @@ class PrimeField:
         return self._mont_mul(a, b)
 
     def _mont_mul(self, a, b):
+        if pallas_fp.enabled():
+            batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+            a = jnp.broadcast_to(a, (self.n,) + batch)
+            b = jnp.broadcast_to(b, (self.n,) + batch)
+            return pallas_fp.mont_mul(self, a, b)
         return self.redc(self.mul_wide(a, b))
 
     def sqr(self, a):
@@ -184,6 +190,8 @@ class PrimeField:
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         a = jnp.broadcast_to(a, (nl,) + batch)
         b = jnp.broadcast_to(b, (nl,) + batch)
+        if pallas_fp.enabled():
+            return pallas_fp.mul_wide(self, a, b)
         acc0 = jnp.zeros((2 * nl + 1,) + batch, dtype=_U32)
         zrow = jnp.zeros((1,) + batch, dtype=_U32)
         idx0 = (jnp.zeros((), jnp.int32),) * len(batch)
@@ -207,6 +215,8 @@ class PrimeField:
 
         Requires t < p*R (2n+1 exact limbs). Scanned over limb index.
         """
+        if pallas_fp.enabled():
+            return pallas_fp.redc(self, t)
         nl = self.n
         batch = t.shape[1:]
         p_col = jnp.broadcast_to(self._const(self.p, 1 + len(batch)),

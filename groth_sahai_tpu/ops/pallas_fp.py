@@ -1,0 +1,272 @@
+"""Pallas TPU kernels for the hot limb loops of the field core.
+
+The entire cost of this framework bottoms out in two loops inside
+:class:`groth_sahai_tpu.ops.fp.PrimeField` (SURVEY.md section 7 "hard parts"
+item 1 -- they replace arkworks ``ark_ff`` Montgomery arithmetic used by the
+reference at /root/reference/src/data_structures.rs:22-27):
+
+  * ``mul_wide``  -- exact 2n+1-limb schoolbook product of 16-bit limbs;
+  * ``redc``      -- Montgomery reduction of a wide value, output < 2p;
+  * fused ``mont_mul`` -- true CIOS (coarsely integrated operand scanning):
+    the reduction is interleaved into the product loop, so the wide value
+    never exists.
+
+The pure-JAX versions run these as ``lax.scan`` chains with dynamic
+slice/update on a (2n+1, batch) accumulator, which XLA lowers to a
+while-loop with a full-width accumulator update per step. Here each loop is
+one Pallas kernel with the limb loops fully unrolled (static trip count
+17 / 25) and a *sliding-window* accumulator of nl+1 limb rows that lives in
+vector registers for the whole kernel.
+
+Layout: a field element batch arrives as ``uint32[n_limbs, *batch]``; the
+batch is flattened and tiled as ``(n_limbs, 8, 128)`` blocks -- one full
+8x128 vreg per limb row, so every row op uses all VPU sublanes (a 2-D
+``(n_limbs, T)`` layout would put each row on 1/8 of the sublanes).
+
+All arithmetic is uint32 with 16-bit limb products (no 64-bit paths on
+TPU). Redundancy bound: a window column accumulates <= 4 addends < 2^16
+per limb iteration plus small carries, so it stays < 2^23 << 2^32; one
+exact carry pass at the end suffices. The CIOS ``m`` digit only needs the
+window head mod 2^16, which is exact at the time it is read.
+
+Enable/disable with env ``GS_PALLAS`` = ``1`` / ``0`` / ``auto`` (default:
+auto = on iff the default JAX backend is TPU; the pure-JAX path remains the
+CPU/test path and the bit-exactness oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .limbs import W, MASK
+
+_U32 = jnp.uint32
+_LANE = 128          # TPU lane width
+_SUB = 8             # sublanes per u32 vreg
+_VREG = _SUB * _LANE # batch lanes per block-column (one vreg per limb row)
+_BLK_VREGS = 4       # vregs of batch per grid step (tile = 4096 lanes)
+
+_mode = os.environ.get("GS_PALLAS", "auto")
+_enabled = None
+
+
+def enabled() -> bool:
+    """True when the Pallas kernels should back the field core."""
+    global _enabled
+    if _enabled is None:
+        if _mode == "1":
+            _enabled = True
+        elif _mode == "0":
+            _enabled = False
+        else:
+            try:
+                _enabled = jax.default_backend() == "tpu"
+            except Exception:  # backend init failure -> JAX path
+                _enabled = False
+    return _enabled
+
+
+# --------------------------------------------------------------- kernel bodies
+#
+# In-kernel values are (rows, S, 128) u32 arrays; `x[i:i+1]` is one limb row
+# (a (1, S, 128) block broadcasting against (nl, S, 128)).
+
+def _row(x, i):
+    return x[i:i + 1]
+
+
+def _shift_in(acc, tail_row):
+    """Drop the head row, append ``tail_row`` at the bottom (window slide)."""
+    return jnp.concatenate([acc[1:], tail_row], 0)
+
+
+def _carry_rows(acc):
+    """Exact carry propagation down the limb axis (sequential, unrolled)."""
+    carry = jnp.zeros_like(acc[0:1])
+    mask = _U32(MASK)
+    outs = []
+    for k in range(acc.shape[0]):
+        v = acc[k:k + 1] + carry
+        outs.append(v & mask)
+        carry = v >> W
+    return jnp.concatenate(outs, 0)
+
+
+def _accum_product_row(nl, acc, ai, b, mask):
+    """acc (nl+1 rows) += a_i * b split into lo/hi column contributions."""
+    prod = ai * b                                  # (nl, S, L) 16x16 -> 32
+    z1 = jnp.zeros_like(acc[0:1])
+    lo = jnp.concatenate([prod & mask, z1], 0)     # (nl+1, S, L)
+    hi = jnp.concatenate([z1, prod >> W], 0)
+    return acc + lo + hi
+
+
+def _mul_wide_kernel(nl, a_ref, b_ref, o_ref):
+    """Exact 2nl+1-limb product via a sliding nl+1-row window.
+
+    Column i is complete once limb-row i of `a` has been consumed, so it is
+    emitted and the window slides -- no (2nl+1)-row adds ever happen.
+    """
+    a = a_ref[...]
+    b = b_ref[...]
+    mask = _U32(MASK)
+    acc = jnp.zeros((nl + 1,) + a.shape[1:], _U32)
+    z1 = acc[0:1]
+    outs = []
+    for i in range(nl):
+        acc = _accum_product_row(nl, acc, _row(a, i), b, mask)
+        outs.append(acc[0:1])                      # column i done (< 2^22)
+        acc = _shift_in(acc, z1)
+    wide = jnp.concatenate(outs + [acc], 0)        # (2nl+1, S, L)
+    o_ref[...] = _carry_rows(wide)
+
+
+def _redc_window(nl, n0, acc, tail, p_blk, mask):
+    """Shared CIOS reduction loop over a sliding nl+1-row window.
+
+    ``tail(i)`` supplies the wide-value column that slides in at step i
+    (zeros for the fused kernel, t's upper columns for standalone redc).
+    Returns the nl+1-row window after all nl reduction steps.
+    """
+    n0c = _U32(n0)
+    for i in range(nl):
+        v = acc[0:1]                               # full column value
+        m = (v * n0c) & mask                       # CIOS digit
+        mp = m * p_blk                             # (nl, S, L)
+        z1 = jnp.zeros_like(v)
+        acc = acc + jnp.concatenate([mp & mask, z1], 0) \
+                  + jnp.concatenate([z1, mp >> W], 0)
+        carry = acc[0:1] >> W                      # low 16 bits now zero
+        acc = _shift_in(acc, tail(i))
+        acc = jnp.concatenate([acc[0:1] + carry, acc[1:]], 0)
+    return acc
+
+
+def _redc_kernel(nl, n0, t_ref, p_ref, o_ref):
+    t = t_ref[...]                                 # (2nl+1, S, L) exact limbs
+    p_blk = p_ref[...]
+    mask = _U32(MASK)
+    acc = t[:nl + 1]
+    acc = _redc_window(nl, n0, acc, lambda i: t[nl + 1 + i: nl + 2 + i],
+                       p_blk, mask)
+    o_ref[...] = _carry_rows(acc)[:nl]
+
+
+def _mont_mul_kernel(nl, n0, a_ref, b_ref, p_ref, o_ref):
+    """Fused CIOS Montgomery product: a*b*R^{-1} mod p, output < 2p.
+
+    Product rows and reduction steps interleave on one nl+1-row window;
+    the wide value never materializes. Bit-identical to redc(mul_wide(a,b)):
+    product contributions to column i all arrive by step i, so the m-digit
+    sequence matches the standalone reduction.
+    """
+    a = a_ref[...]
+    b = b_ref[...]
+    p_blk = p_ref[...]
+    mask = _U32(MASK)
+    n0c = _U32(n0)
+    acc = jnp.zeros((nl + 1,) + a.shape[1:], _U32)
+    z1 = acc[0:1]
+    for i in range(nl):
+        acc = _accum_product_row(nl, acc, _row(a, i), b, mask)
+        v = acc[0:1]
+        m = (v * n0c) & mask
+        mp = m * p_blk
+        acc = acc + jnp.concatenate([mp & mask, z1], 0) \
+                  + jnp.concatenate([z1, mp >> W], 0)
+        carry = acc[0:1] >> W
+        acc = _shift_in(acc, z1)
+        acc = jnp.concatenate([acc[0:1] + carry, acc[1:]], 0)
+    o_ref[...] = _carry_rows(acc)[:nl]
+
+
+# ------------------------------------------------------------------- wrappers
+
+def _flatten(x, rows):
+    batch = x.shape[1:]
+    m = 1
+    for d in batch:
+        m *= int(d)
+    return x.reshape(rows, m), batch, m
+
+
+def _tile_of(m: int):
+    """(padded_m, sublane_tile): batch lanes per grid step."""
+    mv = -(-m // _VREG)                 # vregs of batch
+    if mv <= _BLK_VREGS:
+        return mv * _VREG, mv * _SUB
+    blk = _BLK_VREGS * _VREG
+    return -(-m // blk) * blk, _BLK_VREGS * _SUB
+
+
+def _call(kernel, in_rows, out_rows, args, interpret, p_np=None):
+    """Grid a row-major (rows, M) op over (rows, S, 128) lane blocks.
+
+    When ``p_np`` is given, the modulus limbs ride along as one extra
+    (nl, S, 128) input replicated to every grid step (Pallas kernels cannot
+    close over array constants).
+    """
+    m = args[0].shape[1]
+    mp, s_tile = _tile_of(m)
+    s_total = mp // _LANE
+    args = [jnp.pad(x, ((0, 0), (0, mp - x.shape[1]))) if mp != m else x
+            for x in args]
+    args = [x.reshape(x.shape[0], s_total, _LANE) for x in args]
+    in_specs = [pl.BlockSpec((r, s_tile, _LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM) for r in in_rows]
+    if p_np is not None:
+        nl = p_np.shape[0]
+        args.append(jnp.broadcast_to(
+            jnp.asarray(p_np, dtype=_U32).reshape(nl, 1, 1),
+            (nl, s_tile, _LANE)))
+        in_specs.append(pl.BlockSpec((nl, s_tile, _LANE),
+                                     lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel,
+        grid=(s_total // s_tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((out_rows, s_tile, _LANE),
+                               lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((out_rows, s_total, _LANE), _U32),
+        interpret=interpret,
+    )(*args)
+    out = out.reshape(out_rows, mp)
+    return out[:, :m] if mp != m else out
+
+
+def mul_wide(field, a, b, interpret: bool = False):
+    """Pallas path for :meth:`PrimeField.mul_wide` (same-shape inputs)."""
+    nl = field.n
+    a2, batch, m = _flatten(a, nl)
+    b2, _, _ = _flatten(b, nl)
+    out = _call(functools.partial(_mul_wide_kernel, nl),
+                [nl, nl], 2 * nl + 1, [a2, b2], interpret)
+    return out.reshape((2 * nl + 1,) + batch)
+
+
+def redc(field, t, interpret: bool = False):
+    """Pallas path for :meth:`PrimeField.redc`."""
+    nl = field.n
+    t2, batch, m = _flatten(t, 2 * nl + 1)
+    out = _call(functools.partial(_redc_kernel, nl, field.n0),
+                [2 * nl + 1], nl, [t2], interpret, p_np=field.p_limbs)
+    return out.reshape((nl,) + batch)
+
+
+def mont_mul(field, a, b, interpret: bool = False):
+    """Pallas path for :meth:`PrimeField._mont_mul` (fused CIOS mul+redc)."""
+    nl = field.n
+    a2, batch, m = _flatten(a, nl)
+    b2, _, _ = _flatten(b, nl)
+    out = _call(functools.partial(_mont_mul_kernel, nl, field.n0),
+                [nl, nl], nl, [a2, b2], interpret, p_np=field.p_limbs)
+    return out.reshape((nl,) + batch)
