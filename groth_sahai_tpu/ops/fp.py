@@ -38,6 +38,26 @@ from . import pallas_fp
 
 _U32 = jnp.uint32
 
+_unroll_cache = {}
+
+
+def _unroll(kind: str = "mul") -> int:
+    """Scan unroll factor for the limb loops.
+
+    On TPU the hot mul/redc loops run as Pallas kernels (fully unrolled
+    in-kernel), so the scan paths here matter only for CPU tests and the
+    multichip dryrun -- where XLA graph size (compile time) dominates and
+    unrolling only bloats it. Keep unroll=1 off-TPU, modest on TPU for the
+    carry chains that always run as scans.
+    """
+    if kind not in _unroll_cache:
+        try:
+            tpu = jax.default_backend() == "tpu"
+        except Exception:
+            tpu = False
+        _unroll_cache[kind] = (5 if kind == "mul" else 8) if tpu else 1
+    return _unroll_cache[kind]
+
 
 class PrimeField:
     """Montgomery arithmetic mod `modulus` on 16-bit limb arrays."""
@@ -89,7 +109,8 @@ class PrimeField:
             v = x + c
             return v >> W, v & MASK
 
-        _, out = lax.scan(body, jnp.zeros_like(cols[0]), cols, unroll=8)
+        _, out = lax.scan(body, jnp.zeros_like(cols[0]), cols,
+                          unroll=_unroll('carry'))
         return out
 
     @staticmethod
@@ -100,7 +121,8 @@ class PrimeField:
             v = ai + _U32(1 << W) - bi - borrow
             return _U32(1) - (v >> W), v & MASK
 
-        borrow, out = lax.scan(body, jnp.zeros_like(a[0]), (a, b), unroll=8)
+        borrow, out = lax.scan(body, jnp.zeros_like(a[0]), (a, b),
+                               unroll=_unroll('carry'))
         return out, borrow
 
     # ----------------------------------------------------------- field ops
@@ -125,7 +147,8 @@ class PrimeField:
             return v >> W, v & MASK
 
         b = jnp.broadcast_to(b, a.shape)
-        _, out = lax.scan(body, jnp.ones_like(a[0]), (a, b, kpm), unroll=8)
+        _, out = lax.scan(body, jnp.ones_like(a[0]), (a, b, kpm),
+                          unroll=_unroll('carry'))
         # final carry out is exactly 1 (the 2^(16n) of the complement); dropped
         return out
 
@@ -207,7 +230,7 @@ class PrimeField:
             return (acc, i + 1), None
 
         (acc, _), _ = lax.scan(body, (acc0, jnp.int32(0)), a,
-                               unroll=self.UNROLL)
+                               unroll=_unroll('mul'))
         return self._carry(acc)
 
     def redc(self, t):
@@ -241,7 +264,7 @@ class PrimeField:
 
         (acc, carry, _), _ = lax.scan(
             body, (t, jnp.zeros(batch, dtype=_U32), jnp.int32(0)), None,
-            length=nl, unroll=self.UNROLL)
+            length=nl, unroll=_unroll('mul'))
         res = acc[nl:2 * nl + 1]
         res = jnp.concatenate([(res[0] + carry)[None], res[1:]], 0)
         return self._carry(res)[: nl]
@@ -267,7 +290,8 @@ class PrimeField:
             return v >> W, v & MASK
 
         b = jnp.broadcast_to(b, a.shape)
-        _, out = lax.scan(body, jnp.ones_like(a[0]), (a, b, kpm), unroll=8)
+        _, out = lax.scan(body, jnp.ones_like(a[0]), (a, b, kpm),
+                          unroll=_unroll('carry'))
         return out
 
     def mul_small(self, a, k: int):

@@ -1,12 +1,22 @@
 """Multi-chip sharded kernels: MSM and batched pairing products.
 
-Design (BASELINE.json north star; SURVEY.md section 2c): points / pairing
-pairs shard over a 1-D mesh axis; each chip reduces its shard locally
-(Pippenger buckets, Miller-loop products); the tiny per-chip partials
-(one Jacobian point, one Fq12 value) are combined with `all_gather` and a
-replicated tree reduction -- group/GT "sums" cannot use `psum` (they are
-not coordinate-wise adds), so the collective moves the O(1) partials and
-the group law runs replicated, which is negligible.
+Design (BASELINE.json north star; SURVEY.md section 2c): the point axis /
+pairing-pair axis is reshaped to a leading device axis `(D, N/D)`, placed
+with a `NamedSharding` over the mesh, and the per-device partial reduction
+runs under `jax.vmap` over that axis. Because every op in the vmapped local
+program carries the device axis, GSPMD partitions it 1:1 onto the mesh with
+no communication; the only collective is the one XLA inserts for the final
+O(D) merge (all-gather of one Jacobian point / one Fq12 value per device) --
+the "annotate shardings, let XLA insert collectives" recipe.
+
+This replaces an earlier `shard_map` formulation: the manual-collective
+version compiled ~6x slower (XLA partitioning of the scan-heavy local
+program) for identical semantics; with one-value-per-device partials there
+is nothing a hand-written collective schedule could overlap anyway.
+
+Group/GT "sums" cannot use `psum` (they are not coordinate-wise adds), so
+the merge gathers the O(1) partials and runs the group law replicated,
+which is negligible.
 """
 
 from __future__ import annotations
@@ -15,42 +25,66 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
-
-from ..ops.fp import FR
-from ..ops.curve import G1, G2
+from ..ops.curve import Curve
 from ..ops import msm as msm_mod
 from ..ops import pairing as pr
-from ..ops.tower import FQ12
+
+
+def _put(mesh: Mesh, arr, dev_axis: int, axis: str):
+    """Place `arr` with its axis `dev_axis` sharded over mesh axis `axis`."""
+    spec = [None] * arr.ndim
+    spec[dev_axis] = axis
+    return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+
+
+def _split_leading(mesh: Mesh, arr, batch_axis: int, axis: str):
+    """Reshape axis `batch_axis` from N to (D, N/D) and shard the D axis."""
+    D = mesh.shape[axis]
+    n = arr.shape[batch_axis]
+    assert n % D == 0, f"batch axis {n} not divisible by {D} devices"
+    shp = arr.shape[:batch_axis] + (D, n // D) + arr.shape[batch_axis + 1:]
+    return _put(mesh, arr.reshape(shp), batch_axis, axis)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _msm_over_devices(curve: Curve, pts, scal, window: int, lanes: int):
+    """pts coords (*struct, D, per), inf (D, per); scal (nl, D, per)."""
+    ns = curve.ns
+
+    def local(p, s):
+        return msm_mod.msm(curve, p, s, window=window, lanes=lanes)
+
+    parts = jax.vmap(local, in_axes=((ns, ns, 0), 1),
+                     out_axes=(ns, ns, ns))(pts, scal)     # jac, batch (D,)
+    return curve.sum_reduce(parts, axis=0)
 
 
 def sharded_msm(mesh: Mesh, curve, points_aff, scalars_std,
                 window: int = 4, lanes: int = 16, axis: str = "chips"):
     """MSM with the point axis sharded over `axis`.
 
-    points_aff: affine batch (N,); scalars uint32[17, N]; N divisible by
+    points_aff: affine batch (N,); scalars uint32[nl, N]; N divisible by
     (n_devices * lanes). Returns a replicated Jacobian point ().
     """
     ns = curve.ns
-    coord_spec = P(*([None] * ns + [axis]))
-    in_specs = ((coord_spec, coord_spec, P(axis)), P(None, axis))
-    out_specs = (P(None), P(None), P(None))  # replicated jacobian coords
+    pts = (_split_leading(mesh, points_aff[0], ns, axis),
+           _split_leading(mesh, points_aff[1], ns, axis),
+           _split_leading(mesh, points_aff[2], 0, axis))
+    scal = _split_leading(mesh, scalars_std, 1, axis)
+    return _msm_over_devices(curve, pts, scal, window, lanes)
 
-    def local(pts, scal):
-        part = msm_mod.msm(curve, pts, scal, window=window, lanes=lanes)
-        # gather every chip's partial and reduce replicated
-        gx = lax.all_gather(part[0], axis)      # (D, *coord)
-        gy = lax.all_gather(part[1], axis)
-        gz = lax.all_gather(part[2], axis)
-        stacked = (jnp.moveaxis(gx, 0, ns), jnp.moveaxis(gy, 0, ns),
-                   jnp.moveaxis(gz, 0, ns))
-        return curve.sum_reduce(stacked, axis=0)
 
-    f = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_vma=False)
-    return f(points_aff, scalars_std)
+@jax.jit
+def _miller_over_devices(p, q):
+    """p: G1 affine coords (nl, D, per); q: G2 affine (nl, 2, D, per)."""
+    def local(pp, qq):
+        return pr.multi_miller(pp, qq, axis=0)       # (nl, 12)
+
+    fs = jax.vmap(local, in_axes=((1, 1, 0), (2, 2, 0)),
+                  out_axes=2)(p, q)                  # (nl, 12, D)
+    return pr.final_exp(pr._product_reduce(fs, axis=0))
 
 
 def sharded_multi_pairing(mesh: Mesh, p_aff, q_aff, axis: str = "chips"):
@@ -59,17 +93,10 @@ def sharded_multi_pairing(mesh: Mesh, p_aff, q_aff, axis: str = "chips"):
     p_aff: G1 affine (K,), q_aff: G2 affine (K,); K divisible by n_devices.
     Returns a replicated Fq12 (nl, 12).
     """
-    g1_spec = P(None, axis)
-    g2_spec = P(None, None, axis)
-    in_specs = ((g1_spec, g1_spec, P(axis)), (g2_spec, g2_spec, P(axis)))
-    out_specs = P(None, None)
-
-    def local(p, q):
-        f = pr.multi_miller(p, q, axis=0)       # local product (nl, 12)
-        g = lax.all_gather(f, axis)             # (D, nl, 12)
-        g = jnp.moveaxis(g, 0, 2)               # (nl, 12, D)
-        return pr._product_reduce(g, axis=0)
-
-    f = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_vma=False)
-    return pr.final_exp(f(p_aff, q_aff))
+    p = (_split_leading(mesh, p_aff[0], 1, axis),
+         _split_leading(mesh, p_aff[1], 1, axis),
+         _split_leading(mesh, p_aff[2], 0, axis))
+    q = (_split_leading(mesh, q_aff[0], 2, axis),
+         _split_leading(mesh, q_aff[1], 2, axis),
+         _split_leading(mesh, q_aff[2], 0, axis))
+    return _miller_over_devices(p, q)
