@@ -41,6 +41,37 @@ _B_TWIST_INTS = C.B_G2          # 4(u+1)
 _X_BITS = [int(b) for b in bin(abs(C.X))[2:]]   # MSB first, 64 bits
 _U_HARD = ((C.X - 1) ** 2) // 3                 # hard-part chain exponent
 assert _U_HARD * (C.X + C.P) * (C.X ** 2 + C.P ** 2 - 1) + 1 == C.FINAL_EXP_HARD
+# Split m^u into two short chains: u = v/3 * v with v = |x - 1| = |x| + 1
+# (x < 0; 3 | x-1 for BLS parameters). v has Hamming weight 7, so the second
+# chain runs on the sparse static schedule; only v/3 needs the dense scan.
+_V_ABS = abs(C.X) + 1
+_V3 = _V_ABS // 3
+assert _V3 * 3 == _V_ABS and _V3 * _V_ABS == _U_HARD
+
+
+def _segments(bits):
+    """Static Miller schedule: [(n_dbl, do_add), ...] covering bits[1:].
+
+    |x| has Hamming weight 6, so only 5 of the 63 iterations need the
+    addition step; running it every iteration and selecting it away (the
+    round-1 design) nearly doubled both the Miller runtime and the graph.
+    Each segment is `n_dbl` doubling steps followed (iff `do_add`) by one
+    addition step.
+    """
+    segs, run = [], 0
+    for b in bits[1:]:
+        run += 1
+        if b:
+            segs.append((run, True))
+            run = 0
+    if run:
+        segs.append((run, False))
+    return segs
+
+
+_X_SCHEDULE = _segments(_X_BITS)
+assert sum(s[0] for s in _X_SCHEDULE) == len(_X_BITS) - 1
+assert sum(1 for s in _X_SCHEDULE if s[1]) == sum(_X_BITS[1:])
 
 
 def _bcast_const(arr, batch_ndim):
@@ -134,23 +165,23 @@ def miller_loop(p_aff, q_aff):
 
     R0 = (q_aff[0], q_aff[1], FQ2.one(batch))
     f0 = FQ12.one(batch)
-    bits = jnp.asarray(np.array(_X_BITS[1:], dtype=np.uint32))
 
-    def body(state, bit):
+    def dbl_body(state, _):
         f, R = state
         f = FQ12.sqr(f)
         R, line = _dbl_step(R, two_inv, b3)
         f = _ell(f, line, px, py, batch)
-        # conditional addition step
-        R_add, line_a = _add_step(R, q_aff)
-        f_add = _ell(f, line_a, px, py, batch)
-        take = (bit > 0)
-        f = jnp.where(take[None, None], f_add, f)
-        R = jax.tree_util.tree_map(
-            lambda x, y: jnp.where(take[None, None], x, y), R_add, R)
         return (f, R), None
 
-    (f, _), _ = lax.scan(body, (f0, R0), bits)
+    state = (f0, R0)
+    for n_dbl, do_add in _X_SCHEDULE:      # static: 63 dbl steps, 5 adds
+        state, _ = lax.scan(dbl_body, state, None, length=n_dbl)
+        if do_add:
+            f, R = state
+            R, line_a = _add_step(R, q_aff)
+            f = _ell(f, line_a, px, py, batch)
+            state = (f, R)
+    f, _ = state
     # x < 0: conjugate
     f = FQ12.conj(f)
     # infinity on either side -> identity
@@ -191,7 +222,7 @@ def final_exp(f):
     f1 = F12.mul(F12.conj(f), F12.inv(f))          # f^(p^6-1)
     m = F12.mul(F12.frobenius(f1, 2), f1)          # ^(p^2+1); cyclotomic now
     # hard part: lambda = u*(x+p)*(x^2+p^2-1) + 1, u = (x-1)^2/3
-    a = F12.cyclotomic_pow(m, _U_HARD)             # m^u
+    a = F12.cyclotomic_pow(F12.cyclotomic_pow(m, _V3), _V_ABS)   # m^u
     b = F12.mul(F12.pow_x(a), F12.frobenius(a, 1))           # a^(x+p)
     bx2 = F12.pow_x(F12.pow_x(b))                  # b^(x^2)
     c = F12.mul(F12.mul(bx2, F12.frobenius(b, 2)), F12.conj(b))

@@ -344,7 +344,23 @@ class _Fq12:
         return FQ.redc(self.build(c0, c1))
 
     def sqr(self, a):
-        return self.mul(a, a)
+        """Dedicated squaring: 2 Fq6 wide products instead of mul's 3.
+
+        c0 = (a0+a1)(a0+v a1) - t - v t,  c1 = 2t,  t = a0 a1.
+        Input bound: coeffs < 4p (Miller-loop f values are < 2p).
+        """
+        F6 = FQ6
+        a0, a1 = self.c(a, 0), self.c(a, 1)
+        s = FQ.add(a0, a1)                       # < 8p
+        sv = FQ.add(a0, F6.mul_by_v(a1, k=8))    # < 4p + 12p = 16p
+        X = _stack([s, a0], axis=2)              # (nl, 6, 2, *batch)
+        Y = _stack([sv, a1], axis=2)
+        T = F6.mul_wide6(X, Y)                   # wide < 2^16 p^2
+        t0, t1 = T[:, :, 0], T[:, :, 1]          # s*sv, a0*a1
+        u = FQ.add_wide(t1, F6.v_wide(t1))       # < (2^16 + 2^17.6) p^2
+        c0 = FQ.sub_wide(t0, u, k2=1 << 18)      # < 2^18.4 p^2 < p*R
+        c1 = FQ.double_wide(t1)
+        return FQ.redc(self.build(c0, c1))
 
     def conj(self, a, k: int = 2):
         return self.build(self.c(a, 0), FQ.neg(self.c(a, 1), k=k))
@@ -453,21 +469,42 @@ class _Fq12:
         return FQ.normalize(FQ.fold(_unpairs(out)), k=32)
 
     def cyclotomic_pow(self, a, e: int, conjugate_result: bool = False):
-        """a^e (fixed positive exponent) in the cyclotomic subgroup via scan."""
+        """a^e (fixed positive exponent) in the cyclotomic subgroup.
+
+        Low-Hamming-weight exponents (the BLS parameter family) run as a
+        static schedule -- runs of cyclotomic squarings via `lax.scan` with
+        the few true multiplies unrolled between them -- so a 64-bit chain
+        costs 63 squarings + (weight-1) muls instead of 63 of each.
+        Dense exponents keep the uniform square-and-select-multiply scan.
+        """
         assert e > 0
         nbits = e.bit_length()
         if nbits == 1:
             return self.conj(a) if conjugate_result else a
-        bits = jnp.asarray(np.array(
-            [(e >> (nbits - 2 - i)) & 1 for i in range(nbits - 1)],
-            dtype=np.uint32))
+        bit_list = [(e >> (nbits - 1 - i)) & 1 for i in range(nbits)]
 
-        def body(acc, bit):
-            acc = self.cyclotomic_sqr(acc)
-            acc2 = self.mul(acc, a)
-            return jnp.where((bit > 0)[None, None], acc2, acc), None
+        if sum(bit_list) <= 8:                   # static sparse schedule
+            def body(acc, _):
+                return self.cyclotomic_sqr(acc), None
 
-        out, _ = lax.scan(body, a, bits)
+            out, run = a, 0
+            for b in bit_list[1:]:
+                run += 1
+                if b:
+                    out, _ = lax.scan(body, out, None, length=run)
+                    out = self.mul(out, a)
+                    run = 0
+            if run:
+                out, _ = lax.scan(body, out, None, length=run)
+        else:
+            bits = jnp.asarray(np.array(bit_list[1:], dtype=np.uint32))
+
+            def body(acc, bit):
+                acc = self.cyclotomic_sqr(acc)
+                acc2 = self.mul(acc, a)
+                return jnp.where((bit > 0)[None, None], acc2, acc), None
+
+            out, _ = lax.scan(body, a, bits)
         if conjugate_result:
             out = self.conj(out)
         return out
