@@ -117,7 +117,10 @@ def bench_pairing(batch: int, reps: int):
     }
 
 
-def bench_msm(n_points: int, reps: int, window: int = 8, lanes: int = 128):
+def bench_msm(n_points: int, reps: int, window: int = 0, lanes: int = 0):
+    del lanes                      # width picks itself from M (ops/msm.py)
+    if not window:
+        window = 8 if n_points < 16384 else 13
     from groth_sahai_tpu.ops import msm as msm_mod
     from groth_sahai_tpu.ops.curve import G1, g1_affine_from_ints, \
         g1_affine_to_ints
@@ -144,7 +147,7 @@ def bench_msm(n_points: int, reps: int, window: int = 8, lanes: int = 128):
     run = jax.jit(lambda p, s: G1.to_affine(
         jax.tree_util.tree_map(
             lambda l: l[..., None],
-            msm_mod.msm(G1, p, s, window=window, lanes=lanes))))
+            msm_mod.msm(G1, p, s, window=window))))
     stats, _ = timeit(run, inputs, reps=reps)
 
     # correctness: MSM(s, aG) == (sum s_i a_i mod r) G  -- host-side O(1)
@@ -165,7 +168,6 @@ def bench_msm(n_points: int, reps: int, window: int = 8, lanes: int = 128):
         "baseline_kind": BASELINE_KIND,
         "batch": n_points,
         "window": window,
-        "lanes": lanes,
         "checksum_ok": bool(checksum_ok),
         **stats,
     }
@@ -176,8 +178,8 @@ def main():
     ap.add_argument("--metric", default="pairing", choices=["pairing", "msm"])
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--window", type=int, default=8)
-    ap.add_argument("--lanes", type=int, default=128)
+    ap.add_argument("--window", type=int, default=0)
+    ap.add_argument("--lanes", type=int, default=0)   # ignored (compat)
     args = ap.parse_args()
     if args.metric == "pairing":
         res = bench_pairing(args.batch or 128, args.reps)

@@ -45,12 +45,10 @@ except Exception:
 
 
 def timeit(fn, *args, reps=3):
-    out = jax.block_until_ready(fn(*args))      # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    """Honest per-rep host-synchronized mean seconds (benches/timing.py)."""
+    from benches.timing import timeit as _honest
+    stats, _ = _honest(fn, [args], reps=reps)
+    return stats["median_s"]
 
 
 def emit(name, seconds, unit="s", extra=None):
@@ -186,7 +184,8 @@ def main():
         n_msm = 4096 if args.quick else 65536
         pts = rand_g1(n_msm, 51)
         s = rng.fr_std((n_msm,))
-        f = jax.jit(lambda p, sc: msm_mod.msm(G1, p, sc, window=8, lanes=256))
+        f = jax.jit(lambda p, sc: msm_mod.msm(
+            G1, p, sc, window=8 if n_msm < 16384 else 13))
         dt = timeit(f, pts, s)
         emit(f"msm_{n_msm}", dt, extra={"points_per_sec": round(n_msm / dt, 1)})
 

@@ -147,10 +147,24 @@ def com_matvec(curve, scal_std, com_vec):
 
     scal_std: uint32[17, I, K] standard-form scalars.
     The reference computes this entry-by-entry with rayon
-    (data_structures.rs:696-742); here it is one batched windowed
-    scalar-mul over (2, I, K) plus a tree reduction over K.
+    (data_structures.rs:696-742). Here: for small K, one batched windowed
+    scalar-mul over (2, I, K) plus a tree reduction over K; for K >= 16
+    (the verifier's Gamma*d at m = n = 334 is 2*334 MSMs of length 334),
+    a vmapped Pippenger MSM (ops/msm.py) -- ~4x fewer group ops.
     """
     I, K = scal_std.shape[1], scal_std.shape[2]
+    if K >= 16:
+        from ..ops import msm as msm_mod
+        w = 4 if K < 512 else 8
+        oa = (curve.ns,) * 3
+
+        def one(p, s):
+            return msm_mod.msm(curve, p, s, window=w)
+
+        inner = jax.vmap(one, in_axes=(None, 1), out_axes=oa)
+        outer = jax.vmap(inner, in_axes=((curve.ns, curve.ns, 0), None),
+                         out_axes=oa)
+        return outer(com_vec, scal_std)          # jac (2, I)
     pts = aff_expand(curve, com_vec, 1, I)       # (2, I, K)
     prods = curve.scalar_mul(pts, scal_std[:, None, :, :])   # jac (2, I, K)
     return curve.sum_reduce(prods, axis=2)       # jac (2, I)

@@ -161,8 +161,9 @@ class Curve:
         res = self.select(p_inf, self.from_affine(a), res)
         return res
 
-    def neg(self, p):
-        return (p[0], self.F.neg(p[1]), p[2])
+    def neg(self, p, k: int = 2):
+        """-P; k must cover bound(Y) (add outputs have Y < 6p -> k=8)."""
+        return (p[0], self.F.neg(p[1], k=k), p[2])
 
     def neg_affine(self, a):
         return (a[0], self.F.neg(a[1]), a[2])
@@ -170,11 +171,12 @@ class Curve:
     # ------------------------------------------------------------ conversions
 
     def to_affine(self, p):
-        """Jacobian -> (x, y, inf). Batch-parallel Fermat inversion."""
+        """Jacobian -> (x, y, inf). Montgomery batch inversion (one Fermat
+        per 32 elements, ops/fp.py inv_batch) instead of one per element."""
         F = self.F
         X, Y, Z = p
-        inf = F.is_zero(Z)
-        zi = F.inv(Z)
+        inf = F.is_zero(Z, k=8)          # Z bounds: see is_inf
+        zi = F.inv_batch(Z)
         zi2 = F.sqr(zi)
         x = F.mul(X, zi2)
         y = F.mul(Y, F.mul(zi, zi2))
@@ -212,31 +214,59 @@ class Curve:
 
     # ------------------------------------------------------------ scalar mul
 
-    def scalar_mul(self, p_affine, scalar_limbs):
+    def scalar_mul(self, p_affine, scalar_limbs, window: int = 4):
         """[k]P for batched affine points and batched Fr scalars.
 
-        Double-and-add over the fixed 256-bit scalar width via `lax.scan`
-        (MSB first); branchless conditional adds. Scalars are standard-form
-        Fr limbs (uint32[16, *batch], NOT Montgomery).
+        Fixed-window (w=4) over the 256-bit scalar width: a 2^w-entry
+        Jacobian table per point (built with 2^w - 2 mixed adds), then a
+        `lax.scan` over the 64 windows MSB-first, each step = w doublings
+        plus ONE table-select add. The select is a one-hot masked sum over
+        the table axis (no gather op; ~2^w * nl u32 ops vs a ~16-mul group
+        add -- negligible). ~1.7x fewer field muls and 4x fewer sequential
+        steps than the round-1 per-bit double-and-add (VERDICT weak #5).
+
+        Scalars are standard-form Fr limbs (uint32[17, *batch], canonical,
+        NOT Montgomery); `window` must divide 16.
         """
         F = self.F
-        nbits = FR.n * 16
+        assert 16 % window == 0
+        nwin = 256 // window
+        ntab = 1 << window
         batch = np.shape(p_affine[2])
 
-        def bit_at(i):
-            limb = scalar_limbs[i // 16]
-            return ((limb >> (i % 16)) & 1).astype(bool)
+        # table[j] = j * P, Jacobian, table axis = first batch axis.
+        # Built with ONE scanned add_mixed body (not 2^w - 2 inlined adds:
+        # XLA CPU compile time scales with distinct instances).
+        def tab_step(acc, _):
+            acc = self.add_mixed(acc, p_affine)
+            return acc, acc
 
-        bits = jnp.stack([bit_at(nbits - 1 - i) for i in range(nbits)])
+        p1 = self.from_affine(p_affine)
+        _, tail = lax.scan(tab_step, p1, None, length=ntab - 2)
+        table = jax.tree_util.tree_map(
+            lambda z, o, t: jnp.moveaxis(
+                jnp.concatenate([z[None], o[None], t], axis=0), 0, self.ns),
+            self.inf_jac(batch), p1, tail)
 
-        def body(acc, bit):
-            acc = self.double(acc)
-            added = self.add_mixed(acc, p_affine)
-            acc = jax.tree_util.tree_map(
-                lambda x, y: jnp.where(bit[None], x, y), added, acc)
+        def digit_at(k):                       # window k, LSB-first
+            lo = k * window
+            return (scalar_limbs[lo // 16] >> (lo % 16)) & (ntab - 1)
+
+        digs = jnp.stack([digit_at(nwin - 1 - k) for k in range(nwin)])
+
+        def body(acc, dig):
+            for _ in range(window):
+                acc = self.double(acc)
+            onehot = (jnp.arange(ntab, dtype=jnp.uint32).reshape(
+                (ntab,) + (1,) * len(batch)) == dig[None]).astype(jnp.uint32)
+            sel = jax.tree_util.tree_map(
+                lambda l: (l * onehot.reshape(
+                    (1,) * self.ns + onehot.shape)).sum(
+                        axis=self.ns, dtype=jnp.uint32), table)
+            acc = self.add(acc, sel)
             return acc, None
 
-        out, _ = lax.scan(body, self.inf_jac(batch), bits)
+        out, _ = lax.scan(body, self.inf_jac(batch), digs)
         return out
 
     def msm_naive(self, points_affine, scalars):

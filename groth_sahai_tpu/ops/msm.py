@@ -1,19 +1,34 @@
-"""Pippenger multi-scalar multiplication, TPU-style.
+"""Pippenger multi-scalar multiplication, TPU-style (sort + prefix sums).
 
 The reference has no MSM at all -- its commitment/prover matrix products do
 naive per-entry scalar-mul + sum under rayon (data_structures.rs:658-742,
 see SURVEY.md section 2b). This module supplies the real thing, designed
-for SIMD/vector hardware rather than task parallelism:
+around what the hardware is good at (dense vector ops, sorts, sequential
+scans of full-width work) and what it is terrible at (scatter).
 
-  * scalars are sliced into w-bit windows (digits);
-  * lane-parallel bucket accumulation: points are split across C lanes;
-    each lane keeps its own 2^w bucket accumulators PER WINDOW, and a
-    `lax.scan` walks the N/C point rows, doing ONE batched
-    gather -> curve-add -> scatter per row across (windows, lanes) -- so
-    every step is a full-width vector operation;
-  * lanes are then tree-merged, buckets weighted-reduced with the running-
-    sum trick (scan over 2^w), and windows combined with w doublings each;
-  * total group-op work: N + C*2^w + 2^w + 64*w adds, fully batched.
+Pipeline (no scatter anywhere):
+
+  1. slice scalars into w-bit digits; key = window * 2^w + digit  (W*N keys)
+  2. ONE global `lax.sort` of (key, point-index) pairs
+  3. gather points into sorted order, column-major over `width` lanes
+     (lane L owns the contiguous sorted chunk [L*rows, (L+1)*rows))
+  4. `lax.scan` down the rows: every lane accumulates an UNCONDITIONAL
+     running mixed-add prefix of its chunk -- `width` curve adds per step,
+     the work-optimal N*W total, with zero gather/scatter in the loop
+  5. lane totals -> exclusive lane prefix (associative tree scan), giving
+     the global inclusive prefix G[p] of the sorted stream at any position
+  6. bucket SUFFIX sums come free from prefix differences: with
+     U(t) = sum of all sorted points with key < t,
+        sum_d d * S_{w,d}  =  sum_{d>=1} [U((w+1) 2^w) - U(w 2^w + d)]
+     so each window's weighted bucket sum is (2^w - 1) * U(window end)
+     minus a tree-sum of 2^w - 1 gathered prefix values  -- the classic
+     running-sum trick collapsed into one gather + one reduction
+  7. windows combine with w doublings each (unchanged)
+
+The round-1 design (gather -> add -> scatter per row into a (W, lanes,
+2^w) bucket tensor) measured ~4-15k points/s on TPU because XLA lowers the
+bucket scatter/gather abysmally; sorts (27ms for 2^21 keys) and dense
+gathers (15 GB/s) are orders of magnitude better behaved.
 
 The sharded (multi-chip) version in parallel/sharded.py shards the point
 axis over the mesh and merges per-device window sums with collectives.
@@ -48,74 +63,142 @@ def _digits(scalars_std, window: int):
     return jnp.stack(outs)
 
 
-def msm(curve: Curve, points_aff, scalars_std, window: int = 4,
-        lanes: int = 16):
-    """sum_i scalars[i] * points[i] over batch axis 0. Returns Jacobian ().
+def _take_batch(curve, pts, idx):
+    """Gather an affine batch (trailing batch axis) at integer indices."""
+    return (jnp.take(pts[0], idx, axis=-1),
+            jnp.take(pts[1], idx, axis=-1),
+            jnp.take(pts[2], idx, axis=-1))
 
-    points_aff: affine batch (N,); scalars_std: uint32[17, N] canonical.
-    N must be a multiple of `lanes` (pad with infinity points upstream).
+
+def _take_jac(curve, pts, idx):
+    return tuple(jnp.take(l, idx, axis=-1) for l in pts)
+
+
+def _jac_where(mask, a, b):
+    return tuple(jnp.where(mask[None], x, y) for x, y in zip(a, b))
+
+
+def _pick_width(M: int, width: int | None):
+    if width is not None:
+        return min(width, M)
+    # target ~512 rows; clamp width to [128, 8192] and a divisor-friendly size
+    w = max(128, min(8192, M // 512))
+    return 1 << (w - 1).bit_length()
+
+
+def msm(curve: Curve, points_aff, scalars_std, window: int = 8,
+        width: int | None = None, lanes: int | None = None):
+    """sum_i scalars[i] * points[i] over the trailing batch axis.
+
+    points_aff: affine batch (N,); scalars_std: uint32[17, N] canonical
+    standard-form limbs. Returns a Jacobian point (batch ()).
+
+    `width` = scan lanes (defaults to ~M/512 clamped to [128, 8192]);
+    `lanes` (the round-1 bucket-lane knob) is accepted and ignored --
+    width picks itself from M.
     """
+    del lanes
     N = points_aff[2].shape[-1]
-    assert N % lanes == 0, "pad the MSM to a lane multiple"
-    rows = N // lanes
     n_windows = -(-NBITS // window)
     nbuck = 1 << window
+    M = N * n_windows
+    width = _pick_width(M, width)
+    rows = -(-M // width)
+    Mp = rows * width
 
-    digs = _digits(scalars_std, window)              # (W, N)
-    digs = digs.reshape(n_windows, rows, lanes)      # (W, rows, lanes)
+    # ---- 1-2: keys + ONE global sort --------------------------------------
+    digs = _digits(scalars_std, window)                    # (W, N)
+    win_ix = jnp.arange(n_windows, dtype=jnp.uint32)[:, None]
+    keys = (digs + win_ix * nbuck).reshape(M)
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None, :],
+                           (n_windows, N)).reshape(M)
+    if Mp != M:   # pad with a sentinel key beyond every real bucket
+        keys = jnp.concatenate(
+            [keys, jnp.full((Mp - M,), n_windows * nbuck, jnp.uint32)])
+        idx = jnp.concatenate([idx, jnp.zeros((Mp - M,), jnp.uint32)])
+    keys_s, idx_s = lax.sort((keys, idx), num_keys=1)
 
-    # reshape points to (rows, lanes)
+    # ---- 3: gather points into sorted order, column-major ------------------
+    # lane L owns sorted chunk [L*rows, (L+1)*rows): element (r, L) is
+    # sorted position L*rows + r.
+    idx2 = idx_s.reshape(width, rows).T                    # (rows, width)
+    pts = _take_batch(curve, points_aff, idx2.astype(jnp.int32))
+    # digit-0 entries contribute nothing: mask them to infinity
+    key2 = keys_s.reshape(width, rows).T                   # (rows, width)
+    is_zero_digit = (key2 % nbuck == 0) | (key2 >= n_windows * nbuck)
+    pts = (pts[0], pts[1], pts[2] | is_zero_digit)
+
+    # ---- 4: per-lane running prefix (the only sequential loop) -------------
     ns = curve.ns
-    pts = (points_aff[0].reshape(points_aff[0].shape[:ns] + (rows, lanes)),
-           points_aff[1].reshape(points_aff[1].shape[:ns] + (rows, lanes)),
-           points_aff[2].reshape(rows, lanes))
 
-    # bucket state: (W, lanes, nbuck) Jacobian points.
-    # bucket 0 is a dump (digit 0 contributes nothing).
-    buckets = curve.inf_jac((n_windows, lanes, nbuck))
+    def row_step(acc, inp):
+        px, py, pinf = inp
+        acc = curve.add_mixed(acc, (px, py, pinf))
+        return acc, acc
 
-    def row_step(buckets, inputs):
-        dig_row, px, py, pinf = inputs                # dig (W, lanes); p (lanes)
-        # broadcast the row's points over the window axis
-        pt_row = (jnp.broadcast_to(px[..., None, :],
-                                   px.shape[:-1] + (n_windows, px.shape[-1])),
-                  jnp.broadcast_to(py[..., None, :],
-                                   py.shape[:-1] + (n_windows, py.shape[-1])),
-                  jnp.broadcast_to(pinf[None, :], (n_windows, pinf.shape[-1])))
-        # gather current bucket values at (window, lane, digit)
-        idx = dig_row                                  # (W, lanes)
-        cur = _bucket_gather(curve, buckets, idx)
-        # treat digit 0 as "skip": add infinity instead of the point
-        skip = (idx == 0) | pt_row[2]
-        pt_masked = (pt_row[0], pt_row[1], pt_row[2] | (idx == 0))
-        new = curve.add_mixed(cur, pt_masked)
-        buckets = _bucket_scatter(curve, buckets, idx, new)
-        return buckets, None
+    xs = (jnp.moveaxis(pts[0], ns, 0), jnp.moveaxis(pts[1], ns, 0), pts[2])
+    lane_tot, ys = lax.scan(row_step, curve.inf_jac((width,)), xs)
+    # ys leaves: (rows, *struct, width) jacobian prefixes per lane
 
-    xs = (jnp.moveaxis(digs, 1, 0),                   # (rows, W, lanes)
-          jnp.moveaxis(pts[0], ns, 0),                # (rows, ...struct, lanes)
-          jnp.moveaxis(pts[1], ns, 0),
-          pts[2])                                     # (rows, lanes)
-    buckets, _ = lax.scan(row_step, buckets, xs)
+    # ---- 5: exclusive lane prefix -> global prefix lookup -------------------
+    # Hillis-Steele log-depth prefix: log2(width) full-width adds. (An
+    # associative_scan here traced 10s / compiled 66s on CPU for width=128;
+    # this inlines ~log2(width) plain adds instead.)
+    lane_incl = lane_tot
+    shift = 1
+    inf_pad = curve.inf_jac((width,))
+    while shift < width:
+        shifted = tuple(
+            jnp.concatenate(
+                [lax.slice_in_dim(ip, 0, shift, axis=ns),
+                 lax.slice_in_dim(li, 0, width - shift, axis=ns)], axis=ns)
+            for ip, li in zip(inf_pad, lane_incl))
+        lane_incl = curve.add(lane_incl, shifted)
+        shift *= 2
+    inf1 = curve.inf_jac((1,))
+    lane_excl = tuple(
+        jnp.concatenate([i0, lax.slice_in_dim(li, 0, width - 1, axis=ns)],
+                        axis=ns)
+        for i0, li in zip(inf1, lane_incl))
 
-    # ---- merge lanes: (W, lanes, nbuck) -> (W, nbuck) ----------------------
-    merged = curve.sum_reduce(buckets, axis=1)
+    def g_at(pos, valid):
+        """G[pos] = inclusive global prefix at sorted position pos (or inf)."""
+        lane = (pos // rows).astype(jnp.int32)
+        row = (pos % rows).astype(jnp.int32)
+        flat = row * width + lane                          # ys row-major
+        ysf = tuple(jnp.moveaxis(y, 0, -2).reshape(
+            y.shape[1:ns + 1] + (rows * width,)) for y in ys)
+        p_local = _take_jac(curve, ysf, flat)
+        p_lane = _take_jac(curve, lane_excl, lane)
+        g = curve.add(p_lane, p_local)
+        return _jac_where(valid, g, curve.inf_jac(pos.shape))
 
-    # ---- weighted bucket reduction: sum_b b * S_b via running suffix sums --
-    # iterate b from high to low: running += S_b ; acc += running
-    def bucket_step(state, b_rev):
-        running, acc = state
-        sb = jax.tree_util.tree_map(
-            lambda l: jnp.take(l, b_rev, axis=curve.ns + 1), merged)
-        running = curve.add(running, sb)
-        acc = curve.add(acc, running)
-        return (running, acc), None
+    # ---- 6: weighted bucket sums via prefix differences ---------------------
+    # U(t) = sum of sorted points with key < t = G[searchsorted(t) - 1];
+    # with T_{w,d} = (bucket suffix sum from d) = U((w+1) nbuck) - U(w nbuck+d),
+    #   window_sum_w = sum_{d>=1} d * S_{w,d} = sum_{d=1}^{nbuck-1} T_{w,d}
+    # One gather batch covers every U; the subtraction is one broadcast
+    # add-with-negated-y; a log-tree reduction sums the suffixes.
+    t_ends = (jnp.arange(n_windows, dtype=jnp.uint32) + 1) * nbuck   # (W,)
+    t_starts = (jnp.arange(n_windows, dtype=jnp.uint32)[:, None] * nbuck
+                + jnp.arange(1, nbuck, dtype=jnp.uint32)[None, :])   # (W, nbuck-1)
+    tgts = jnp.concatenate([t_ends, t_starts.reshape(-1)])
+    pos = jnp.searchsorted(keys_s, tgts).astype(jnp.int32)
+    u_all = g_at(jnp.maximum(pos - 1, 0), pos > 0)
+    u_end = tuple(l[..., :n_windows] for l in u_all)            # jac (W,)
+    u_starts = tuple(
+        l[..., n_windows:].reshape(l.shape[:-1] + (n_windows, nbuck - 1))
+        for l in u_all)                                         # jac (W, nb-1)
+    # T_{w,d} = u_end - u_starts: one batched add. add() outputs normally
+    # have Y < 6p, but its is_dbl select can pass a double() result through
+    # (Y < 18p), so negate with k=32.
+    diffs = curve.add(
+        tuple(jnp.broadcast_to(l[..., :, None],
+                               l.shape + (nbuck - 1,)) for l in u_end),
+        curve.neg(u_starts, k=32))
+    wsums = curve.sum_reduce(diffs, axis=1)                     # jac (W,)
 
-    b_indices = jnp.arange(nbuck - 1, 0, -1)
-    init = (curve.inf_jac((n_windows,)), curve.inf_jac((n_windows,)))
-    (_, wsums), _ = lax.scan(bucket_step, init, b_indices)   # (W,) points
-
-    # ---- combine windows: acc = sum_k 2^(w k) wsums[k], high to low --------
+    # ---- 7: combine windows: acc = sum_k 2^(w k) wsums[k], high to low -----
     def win_step(acc, k_rev):
         for _ in range(window):
             acc = curve.double(acc)
@@ -128,28 +211,8 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 4,
     return acc
 
 
-def _bucket_gather(curve, buckets, idx):
-    """Jacobian buckets (leaves (*struct, W, lanes, nbuck)) at idx (W, lanes)."""
-    def g(l):
-        ii = idx.reshape((1,) * (l.ndim - 3) + idx.shape + (1,))
-        ii = jnp.broadcast_to(ii, l.shape[:-1] + (1,)).astype(jnp.int32)
-        return jnp.take_along_axis(l, ii, axis=-1).squeeze(-1)
-
-    return tuple(g(l) for l in buckets)
-
-
-def _bucket_scatter(curve, buckets, idx, new):
-    """Write `new` (jacobian, (W, lanes) batch) into buckets at idx."""
-    def s(l, v):
-        ii = idx.reshape((1,) * (l.ndim - 3) + idx.shape + (1,))
-        ii = jnp.broadcast_to(ii, l.shape[:-1] + (1,)).astype(jnp.int32)
-        return jnp.put_along_axis(l, ii, v[..., None], axis=-1,
-                                  inplace=False)
-
-    return tuple(s(l, v) for l, v in zip(buckets, new))
-
-
-def msm_curve(curve: Curve, points_aff, scalars_std, window: int = 4,
-              lanes: int = 16):
+def msm_curve(curve: Curve, points_aff, scalars_std, window: int = 8,
+              width: int | None = None, lanes: int | None = None):
     """Alias with explicit name for the parallel layer."""
-    return msm(curve, points_aff, scalars_std, window=window, lanes=lanes)
+    return msm(curve, points_aff, scalars_std, window=window, width=width,
+               lanes=lanes)

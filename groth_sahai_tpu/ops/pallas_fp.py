@@ -214,6 +214,8 @@ def _call(kernel, in_rows, out_rows, args, interpret, p_np=None):
     close over array constants).
     """
     m = args[0].shape[1]
+    if m == 0:     # zero-size batches appear inside associative_scan levels
+        return jnp.zeros((out_rows, 0), _U32)
     mp, s_tile = _tile_of(m)
     s_total = mp // _LANE
     args = [jnp.pad(x, ((0, 0), (0, mp - x.shape[1]))) if mp != m else x

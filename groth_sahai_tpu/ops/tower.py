@@ -137,6 +137,15 @@ class _Fq2:
         return FQ.mul(_stack([a[:, 0], FQ.neg(a[:, 1], k=8)], axis=1),
                       ni[:, None])
 
+    def inv_batch(self, a, k: int = 8):
+        """Batched inverse: one Fq Montgomery-trick inversion of the norms
+        (norm = 0 iff a = 0 since -1 is a non-residue mod p)."""
+        t = FQ.mul(a, a)
+        norm = FQ.add(t[:, 0], t[:, 1])                # < 4p
+        ni = FQ.inv_batch(norm, k=4)
+        return FQ.mul(_stack([a[:, 0], FQ.neg(a[:, 1], k=k)], axis=1),
+                      ni[:, None])
+
     # ---- predicates / io ----
     def is_zero(self, a, k: int = 8):
         return FQ.is_zero(a[:, 0], k=k) & FQ.is_zero(a[:, 1], k=k)

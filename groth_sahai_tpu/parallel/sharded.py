@@ -48,13 +48,13 @@ def _split_leading(mesh: Mesh, arr, batch_axis: int, axis: str):
     return _put(mesh, arr.reshape(shp), batch_axis, axis)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
-def _msm_over_devices(curve: Curve, pts, scal, window: int, lanes: int):
+@partial(jax.jit, static_argnums=(0, 3))
+def _msm_over_devices(curve: Curve, pts, scal, window: int):
     """pts coords (*struct, D, per), inf (D, per); scal (nl, D, per)."""
     ns = curve.ns
 
     def local(p, s):
-        return msm_mod.msm(curve, p, s, window=window, lanes=lanes)
+        return msm_mod.msm(curve, p, s, window=window)
 
     parts = jax.vmap(local, in_axes=((ns, ns, 0), 1),
                      out_axes=(ns, ns, ns))(pts, scal)     # jac, batch (D,)
@@ -62,18 +62,19 @@ def _msm_over_devices(curve: Curve, pts, scal, window: int, lanes: int):
 
 
 def sharded_msm(mesh: Mesh, curve, points_aff, scalars_std,
-                window: int = 4, lanes: int = 16, axis: str = "chips"):
+                window: int = 4, lanes: int = None, axis: str = "chips"):
     """MSM with the point axis sharded over `axis`.
 
     points_aff: affine batch (N,); scalars uint32[nl, N]; N divisible by
-    (n_devices * lanes). Returns a replicated Jacobian point ().
+    n_devices. Returns a replicated Jacobian point ().
+    (`lanes` is accepted and ignored -- see ops/msm.py.)
     """
     ns = curve.ns
     pts = (_split_leading(mesh, points_aff[0], ns, axis),
            _split_leading(mesh, points_aff[1], ns, axis),
            _split_leading(mesh, points_aff[2], 0, axis))
     scal = _split_leading(mesh, scalars_std, 1, axis)
-    return _msm_over_devices(curve, pts, scal, window, lanes)
+    return _msm_over_devices(curve, pts, scal, window)
 
 
 @jax.jit
