@@ -33,6 +33,7 @@ from ..ops.limbs import ints_to_limbs
 from ..ops.curve import (g1_affine_from_ints, g2_affine_from_ints,
                          g1_affine_to_ints, g2_affine_to_ints)
 from ..ops.tower import FQ12
+from . import hostmath
 
 P = C.P
 
@@ -127,7 +128,11 @@ def g1_point_to_bytes(pt, compressed=True) -> bytes:
     return fq_to_bytes(pt[0]) + fq_to_bytes(pt[1])
 
 
-def g1_point_from_bytes(b: bytes, compressed=True):
+def g1_point_from_bytes(b: bytes, compressed=True, validate=True):
+    """Reader with arkworks `Validate::Yes` semantics by default: on-curve
+    (free on the compressed path, checked on the uncompressed one) and
+    r-torsion subgroup membership (utils/hostmath.py). Pass validate=False
+    only for trusted bytes."""
     if compressed:
         assert len(b) == 48
         raw = bytearray(b)
@@ -136,13 +141,18 @@ def g1_point_from_bytes(b: bytes, compressed=True):
         x = fq_from_bytes(bytes(raw))
         if flags & FLAG_INF:
             return None
+        if x >= P:
+            raise ValueError("x out of field range")
         ysq = (pow(x, 3, P) + C.B_G1) % P
         y = _sqrt_fq(ysq)
         if y is None:
             raise ValueError("x not on curve")
         if bool(flags & FLAG_NEG) != _is_neg_fq(y):
             y = (P - y) % P
-        return (x, y)
+        pt = (x, y)
+        if validate and not hostmath.g1_in_subgroup(pt):
+            raise ValueError("G1 point not in the r-torsion subgroup")
+        return pt
     assert len(b) == 96
     raw = bytearray(b)
     flags = raw[-1] & 0xC0
@@ -151,7 +161,13 @@ def g1_point_from_bytes(b: bytes, compressed=True):
     y = fq_from_bytes(bytes(raw[48:]))
     if flags & FLAG_INF:
         return None
-    return (x, y)
+    pt = (x, y)
+    if validate:
+        if not hostmath.g1_on_curve(pt):
+            raise ValueError("G1 point not on curve")
+        if not hostmath.g1_in_subgroup(pt):
+            raise ValueError("G1 point not in the r-torsion subgroup")
+    return pt
 
 
 def g2_point_to_bytes(pt, compressed=True) -> bytes:
@@ -174,7 +190,8 @@ def g2_point_to_bytes(pt, compressed=True) -> bytes:
             + fq_to_bytes(y0) + fq_to_bytes(y1))
 
 
-def g2_point_from_bytes(b: bytes, compressed=True):
+def g2_point_from_bytes(b: bytes, compressed=True, validate=True):
+    """G2 reader; see g1_point_from_bytes for the validation contract."""
     if compressed:
         assert len(b) == 96
         raw = bytearray(b)
@@ -183,6 +200,8 @@ def g2_point_from_bytes(b: bytes, compressed=True):
         x = (fq_from_bytes(bytes(raw[:48])), fq_from_bytes(bytes(raw[48:])))
         if flags & FLAG_INF:
             return None
+        if x[0] >= P or x[1] >= P:
+            raise ValueError("x out of field range")
         # y^2 = x^3 + 4(u+1)
         x0, x1 = x
         xsq = ((x0 * x0 - x1 * x1) % P, 2 * x0 * x1 % P)
@@ -194,16 +213,25 @@ def g2_point_from_bytes(b: bytes, compressed=True):
             raise ValueError("x not on curve")
         if bool(flags & FLAG_NEG) != _is_neg_fq2(y):
             y = ((P - y[0]) % P, (P - y[1]) % P)
-        return (x, y)
+        pt = (x, y)
+        if validate and not hostmath.g2_in_subgroup(pt):
+            raise ValueError("G2 point not in the r-torsion subgroup")
+        return pt
     assert len(b) == 192
     raw = bytearray(b)
     flags = raw[-1] & 0xC0
     raw[-1] &= 0x3F
     if flags & FLAG_INF:
         return None
-    return ((fq_from_bytes(bytes(raw[0:48])), fq_from_bytes(bytes(raw[48:96]))),
-            (fq_from_bytes(bytes(raw[96:144])),
-             fq_from_bytes(bytes(raw[144:192]))))
+    pt = ((fq_from_bytes(bytes(raw[0:48])), fq_from_bytes(bytes(raw[48:96]))),
+          (fq_from_bytes(bytes(raw[96:144])),
+           fq_from_bytes(bytes(raw[144:192]))))
+    if validate:
+        if not hostmath.g2_on_curve(pt):
+            raise ValueError("G2 point not on curve")
+        if not hostmath.g2_in_subgroup(pt):
+            raise ValueError("G2 point not in the r-torsion subgroup")
+    return pt
 
 
 # ---------------------------------------------------------------------------
@@ -273,12 +301,13 @@ def _flatten_com(com, ns):
     return (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(infs))
 
 
-def com1_vec_from_bytes(b: bytes, off=0, compressed=True):
+def com1_vec_from_bytes(b: bytes, off=0, compressed=True, validate=True):
     k, off = _read_prefix(b, off)
     size = 48 if compressed else 96
     pts = []
     for _ in range(2 * k):
-        pts.append(g1_point_from_bytes(b[off:off + size], compressed))
+        pts.append(g1_point_from_bytes(b[off:off + size], compressed,
+                                       validate))
         off += size
     # reorder [e0p0, e0p1, e1p0, ...] -> (2 pair, k)
     reordered = [pts[2 * i + j] for j in range(2) for i in range(k)]
@@ -288,12 +317,13 @@ def com1_vec_from_bytes(b: bytes, off=0, compressed=True):
             aff[2].reshape(2, k)), off
 
 
-def com2_vec_from_bytes(b: bytes, off=0, compressed=True):
+def com2_vec_from_bytes(b: bytes, off=0, compressed=True, validate=True):
     k, off = _read_prefix(b, off)
     size = 96 if compressed else 192
     pts = []
     for _ in range(2 * k):
-        pts.append(g2_point_from_bytes(b[off:off + size], compressed))
+        pts.append(g2_point_from_bytes(b[off:off + size], compressed,
+                                       validate))
         off += size
     reordered = [pts[2 * i + j] for j in range(2) for i in range(k)]
     aff = g2_affine_from_ints(reordered)
@@ -595,3 +625,115 @@ def proof_from_bytes(b: bytes, off=0, compressed=True):
         ncols, off = _read_prefix(b, off)
         off += 32 * ncols
     return EquProof(pi=pi, theta=theta, equ_type=ty), off
+
+
+# ---------------------------------------------------------------------------
+# bulk (native-backed) point vector IO -- the checkpoint/runtime path
+# ---------------------------------------------------------------------------
+#
+# The per-element writers above cost a Python int round-trip per point;
+# at MSM scale (2^16+ points) that is seconds of host time. These bulk
+# codecs move the whole batch through csrc/libgslimbs.so (numpy fallback,
+# utils/native.py) at memory bandwidth, with flag/sign handling vectorized
+# on limb arrays. Validation for bulk reads runs BATCHED ON DEVICE
+# (on-curve + [r]P = O subgroup check) -- the TPU-native analogue of
+# arkworks' per-point `Validate::Yes`.
+
+def _is_neg_fq_limbs(y_std: np.ndarray) -> np.ndarray:
+    """Vectorized _is_neg_fq on canonical std limbs uint32[25, K]."""
+    from ..ops.limbs import int_to_limbs
+    half = int_to_limbs((P - 1) // 2, y_std.shape[0])
+    gt = np.zeros(y_std.shape[1], dtype=bool)
+    eq = np.ones(y_std.shape[1], dtype=bool)
+    for l in range(y_std.shape[0] - 1, -1, -1):
+        gt |= eq & (y_std[l] > half[l])
+        eq &= y_std[l] == half[l]
+    return gt
+
+
+def _g1_std(a):
+    """Affine device batch -> canonical std-form numpy limbs + inf flags."""
+    import jax
+    x = np.asarray(jax.jit(FQ.from_mont)(a[0]))
+    y = np.asarray(jax.jit(FQ.from_mont)(a[1]))
+    inf = np.asarray(a[2]).reshape(-1)
+    return x.reshape(FQ.n, -1), y.reshape(FQ.n, -1), inf
+
+
+def g1_vec_to_bytes_bulk(a, compressed=True) -> bytes:
+    """G1 affine batch (K,) -> Vec<G1Affine> bytes, bulk path."""
+    from . import native
+    x, y, inf = _g1_std(a)
+    K = x.shape[1]
+    x = np.where(inf[None, :], 0, x)
+    y = np.where(inf[None, :], 0, y)
+    xb = np.frombuffer(native.limbs_to_bytes(x, 48), np.uint8).reshape(K, 48)
+    if compressed:
+        out = xb.copy()
+        neg = _is_neg_fq_limbs(y) & ~inf
+        out[neg, 47] |= FLAG_NEG
+        out[inf, 47] |= FLAG_INF
+        return _vec_prefix(K) + out.tobytes()
+    yb = np.frombuffer(native.limbs_to_bytes(y, 48), np.uint8).reshape(K, 48)
+    out = np.concatenate([xb, yb], axis=1)
+    out[inf, 95] |= FLAG_INF
+    return _vec_prefix(K) + out.tobytes()
+
+
+def g1_vec_from_bytes_bulk(b: bytes, off=0, validate=True):
+    """Uncompressed Vec<G1Affine> bulk reader; device-batched validation.
+
+    (Compressed bulk reads would need a per-point host sqrt -- use the
+    per-element reader for those.)
+    """
+    from . import native
+    import jax
+    import jax.numpy as jnp
+    k, off = _read_prefix(b, off)
+    raw = np.frombuffer(b[off:off + 96 * k], np.uint8).reshape(k, 96).copy()
+    off += 96 * k
+    inf = (raw[:, 95] & FLAG_INF) != 0
+    raw[:, 95] &= 0x3F
+    x = native.bytes_to_limbs(raw[:, :48].tobytes(), 48, FQ.n)
+    y = native.bytes_to_limbs(raw[:, 48:].tobytes(), 48, FQ.n)
+    aff = (FQ.to_mont(jnp.asarray(x)), FQ.to_mont(jnp.asarray(y)),
+           jnp.asarray(inf))
+    if validate:
+        _validate_g1_batch_device(aff)
+    return aff, off
+
+
+def _validate_g1_batch_device(aff):
+    """Batched on-curve + subgroup check on the accelerator."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.curve import G1
+    from ..ops.limbs import int_to_limbs
+
+    @jax.jit
+    def check(a):
+        on = G1.on_curve_affine(a)
+        r_limbs = jnp.asarray(int_to_limbs(C.R, FR.n))
+        mult = G1.scalar_mul(a, r_limbs)
+        return jnp.all(on), jnp.all(G1.is_inf(mult))
+
+    on, sub = check(aff)
+    if not bool(np.asarray(on)):
+        raise ValueError("G1 batch: point not on curve")
+    if not bool(np.asarray(sub)):
+        raise ValueError("G1 batch: point not in the r-torsion subgroup")
+
+
+def fr_vec_to_bytes_bulk(std) -> bytes:
+    """uint32[17, K] canonical std limbs -> Vec<Fr> bytes, bulk path."""
+    from . import native
+    arr = np.asarray(std).reshape(FR.n, -1)
+    return _vec_prefix(arr.shape[1]) + native.limbs_to_bytes(arr, 32)
+
+
+def fr_vec_from_bytes_bulk(b: bytes, off=0):
+    from . import native
+    import jax.numpy as jnp
+    k, off = _read_prefix(b, off)
+    arr = native.bytes_to_limbs(b[off:off + 32 * k], 32, FR.n)
+    return jnp.asarray(arr), off + 32 * k

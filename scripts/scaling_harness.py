@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness: sharded MSM + multi-pairing at 1 vs D
+devices (SURVEY.md section 7 step 8).
+
+Dryrun (default, no args): 8 virtual CPU devices in one process.
+Real pods: set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+and run one copy per host; the mesh becomes ("host", "chip") flattened.
+
+Prints one JSON line per configuration with points/s, pairings/s, and
+scaling efficiency vs the single-device run.
+"""
+import json
+import os
+import sys
+import time
+
+if "--tpu" not in sys.argv:
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               " --xla_cpu_max_isa=AVX2").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from groth_sahai_tpu.parallel.multihost import (init_distributed,
+                                                make_global_mesh,
+                                                flatten_mesh)
+from groth_sahai_tpu.parallel.sharded import sharded_msm
+from groth_sahai_tpu.ops.curve import G1, g1_affine_from_ints
+from groth_sahai_tpu.ops.fp import FR
+from groth_sahai_tpu.ops.limbs import ints_to_limbs
+from groth_sahai_tpu.utils import metrics
+from groth_sahai_tpu.utils.config import GsConfig
+
+
+def main():
+    dist = init_distributed()
+    cfg = GsConfig.from_env()
+    full = flatten_mesh(make_global_mesh())
+    n_dev = full.devices.size
+    import random
+    rng = random.Random(5)
+    from tests import oracle as O
+
+    per = 64                                  # points per device (dryrun size)
+    N = n_dev * per
+    base = [O.g1_mul(O.G1_GEN, k + 1) for k in range(16)]
+    pts = g1_affine_from_ints(
+        [(p[0].v, p[1].v) for p in base] * (N // 16))
+    ss = [rng.randrange(O.R) for _ in range(N)]
+    scal = jnp.asarray(ints_to_limbs(ss, FR.n))
+
+    results = {}
+    for d in (1, n_dev):
+        mesh = Mesh(full.devices.reshape(-1)[:d], ("chips",))
+        # same global problem on d devices
+        t0 = time.time()
+        out = sharded_msm(mesh, G1, pts, scal, window=4)
+        jax.block_until_ready(out)
+        compile_s = time.time() - t0
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            out = sharded_msm(mesh, G1, pts, scal, window=4)
+            np.asarray(out[0][:1, :1])
+            reps.append(time.time() - t0)
+        results[d] = min(reps)
+        metrics.collective_bytes(d, 3 * 25 * 4, "msm_merge")
+        print(json.dumps({
+            "devices": d, "points": N, "min_s": round(min(reps), 4),
+            "points_per_sec": round(N / min(reps), 1),
+            "compile_first_s": round(compile_s, 1),
+            **cfg.run_metadata()}), flush=True)
+
+    eff = results[1] / (results[n_dev] * n_dev)
+    print(json.dumps({
+        "scaling_efficiency": round(eff, 3), "devices": n_dev,
+        "distributed": dist, **metrics.snapshot()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,304 @@
+"""Commutativity laws, WI linear-map checks, and twin-RNG equivalences.
+
+Mirrors the reference test tiers the round-1 review flagged as missing:
+
+  * the 4 iota_T-commutativity laws  /root/reference/tests/commit.rs:21-86
+      ComT::pairing(iota1(a1), iota2(a2)) == iota_T(f(a1, a2))
+    one per equation type;
+  * the witness-indistinguishability-preserving linear-map component
+    checks (Ghadafi et al. 2010)   /root/reference/src/data_structures.rs:1533-1602;
+  * batch commit == per-element commit (commit.rs:439-548 twin-RNG idiom);
+  * commit_and_prove == commit; prove (prove.rs:510-971);
+  * same-seed determinism: identical proof bytes across two runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from groth_sahai_tpu.ops.fp import FQ, FR
+from groth_sahai_tpu.ops.limbs import ints_to_limbs
+from groth_sahai_tpu.ops.curve import (
+    G1, G2, g1_affine_from_ints, g2_affine_from_ints,
+    g1_affine_to_ints, g2_affine_to_ints)
+from groth_sahai_tpu.ops.tower import FQ12
+from groth_sahai_tpu.ops import pairing as pr
+from groth_sahai_tpu.utils.rng import GsRng
+from groth_sahai_tpu.utils import serde
+from groth_sahai_tpu.models import commit_group as cg
+from groth_sahai_tpu.models import kernels as K
+from groth_sahai_tpu.models.crs import generate_crs
+from groth_sahai_tpu.models.statement import PPE, MSMEG1, MSMEG2, QuadEqu
+from groth_sahai_tpu.models.prover import (
+    commit_and_prove, prove, batch_commit_G1, batch_commit_G2,
+    batch_commit_scalar_B1, batch_commit_scalar_B2)
+from groth_sahai_tpu.models.verifier import verify, _comt_ppe_target
+
+from . import oracle as O
+from .test_gs_e2e import (o_g1, o_g2, dev_g1, dev_g2, dev_fr, dev_gt,
+                          aff_to_oracle_g1, aff_to_oracle_g2)
+from .test_tower import fq12_vals
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = GsRng(777)
+    crs = generate_crs(rng)
+    g1o = aff_to_oracle_g1(crs.g1_gen)
+    g2o = aff_to_oracle_g2(crs.g2_gen)
+    return crs, g1o, g2o
+
+
+def _elem(curve, aff_vec1):
+    """(2, 1) Com vector -> (2,) Com element."""
+    return cg.aff_index(curve, aff_vec1, 1, 0)
+
+
+def _vec1(curve, elem):
+    return cg.aff_map(curve, elem, lambda l: l[..., None],
+                      lambda i: i[..., None])
+
+
+def _comt_pairing_batch(pairs):
+    """[(Com1 elem, Com2 elem), ...] -> exponentiated ComT batch (k, 2, 2)."""
+    P = cg.aff_stack(G1, [cg.aff_expand(G1, p, 1, 2) for p, _ in pairs])
+    Q = cg.aff_stack(G2, [cg.aff_expand(G2, q, 0, 2) for _, q in pairs])
+    f = jax.jit(pr.miller_loop)(P, Q)          # (nl, 12, k, 2, 2)
+    return jax.jit(pr.final_exp)(f)
+
+
+def _iota1_elem(pt_aff_single):
+    """iota1 of a single G1 point -> Com1 element (2,)."""
+    v = cg.iota(G1, cg.aff_map(G1, pt_aff_single,
+                               lambda l: l[..., None], lambda i: i[..., None]))
+    return _elem(G1, v)
+
+
+def _iota2_elem(pt_aff_single):
+    v = cg.iota(G2, cg.aff_map(G2, pt_aff_single,
+                               lambda l: l[..., None], lambda i: i[..., None]))
+    return _elem(G2, v)
+
+
+def _iota1p_elem(crs, x_std):
+    """iota1'(x) -> Com1 element (2,) affine."""
+    j = K.iota_prime(G1, crs.u_base, x_std[:, None])
+    return _elem(G1, K.to_affine(G1, j))
+
+
+def _iota2p_elem(crs, y_std):
+    j = K.iota_prime(G2, crs.v_base, y_std[:, None])
+    return _elem(G2, K.to_affine(G2, j))
+
+
+def test_linear_bilinear_map_commutativity(setup):
+    """The 4 laws of /root/reference/tests/commit.rs:21-86, one batch.
+
+    ComT::pairing(iota1(a1), iota2(a2)) == iota_T(f(a1, a2)) where f is the
+    equation type's bilinear map and the target-side values are computed
+    with the independent host oracle.
+    """
+    crs, g1o, g2o = setup
+    rng = GsRng(31337)
+    s1, s2, s3, s4, s5, s6 = rng.fr_ints(6)
+    a1 = O.g1_mul(g1o, s1)               # PPE lhs points
+    a2 = O.g2_mul(g2o, s2)
+    m1 = O.g1_mul(g1o, s3)               # MSMEG1: group a1, scalar s4
+    m2 = O.g2_mul(g2o, s5)               # MSMEG2: scalar s6, group a2
+
+    at_ppe = O.pairing(a1, a2)
+    at_m1 = O.g1_mul(m1, s4)             # f(a1, a2) = a2 * a1 in G1
+    at_m2 = O.g2_mul(m2, s6)
+    q1, q2 = rng.fr_ints(2)
+    at_q = (q1 * q2) % O.R
+
+    s4_d, s6_d = dev_fr([s4])[:, 0], dev_fr([s6])[:, 0]
+    q1_d, q2_d = dev_fr([q1])[:, 0], dev_fr([q2])[:, 0]
+    atq_d = dev_fr([at_q])[:, 0]
+
+    # quad target map: iota_T(at) = ComT::pairing(u_base, at * v_base)
+    vb_at = _elem(G2, K.to_affine(
+        G2, K.scalar_mul_vec(G2, _vec1(G2, crs.v_base), atq_d[:, None])))
+
+    pairs = [
+        # lhs of each law
+        (_iota1_elem(dev_g1([o_g1(a1)])), _iota2_elem(dev_g2([o_g2(a2)]))),
+        (_iota1_elem(dev_g1([o_g1(m1)])), _iota2p_elem(crs, s4_d)),
+        (_iota1p_elem(crs, s6_d), _iota2_elem(dev_g2([o_g2(m2)]))),
+        (_iota1p_elem(crs, q1_d), _iota2p_elem(crs, q2_d)),
+        # rhs target maps (data_structures.rs:519-540)
+        (_iota1_elem(dev_g1([o_g1(at_m1)])), crs.v_base),
+        (crs.u_base, _iota2_elem(dev_g2([o_g2(at_m2)]))),
+        (crs.u_base, vb_at),
+    ]
+    res = _comt_pairing_batch(pairs)               # (nl, 12, 7, 2, 2)
+
+    def entry(k):
+        return jax.tree_util.tree_map(lambda l: l[:, :, k], res)
+
+    eq = jax.jit(lambda a, b: jnp.all(FQ12.eq(a, b), axis=(-2, -1)))
+    # PPE: lhs == (1, 1, 1, t) with t from the oracle
+    assert bool(np.asarray(eq(entry(0), _comt_ppe_target(dev_gt(at_ppe)))))
+    # MSMEG1 / MSMEG2 / Quad: lhs ComT == target-map ComT
+    assert bool(np.asarray(eq(entry(1), entry(4))))
+    assert bool(np.asarray(eq(entry(2), entry(5))))
+    assert bool(np.asarray(eq(entry(3), entry(6))))
+
+
+def test_wi_linear_map_components(setup):
+    """WI-preserving map component checks (data_structures.rs:1533-1602).
+
+    iota1'(a) == (u1 * a, (v1 + g1) * a) where crs.u layout is
+    [pair, elem]: u[0,1] = u1, u[1,1] = v1 (models/crs.py:70-74).
+    """
+    crs, g1o, g2o = setup
+    rng = GsRng(999)
+    (a,) = rng.fr_ints(1)
+    a_d = dev_fr([a])
+
+    got = K.to_affine(G1, K.iota_prime(G1, crs.u_base, a_d))  # (2, 1)
+    got_pts = g1_affine_to_ints(
+        cg.aff_map(G1, got, lambda l: l.reshape(l.shape[:-2] + (2,)),
+                   lambda i: i.reshape(2)))
+
+    u1 = aff_to_oracle_g1(cg.aff_index(G1, cg.aff_index(G1, crs.u, 0, 0), 0, 1))
+    v1 = aff_to_oracle_g1(cg.aff_index(G1, cg.aff_index(G1, crs.u, 0, 1), 0, 1))
+    exp0 = O.g1_mul(u1, a)
+    exp1 = O.g1_mul(O.g1_add(v1, g1o), a)
+    assert got_pts[0] == (exp0[0].v, exp0[1].v)
+    assert got_pts[1] == (exp1[0].v, exp1[1].v)
+
+    # iota1(x) = (O, x) structural law (data_structures.rs:310-312)
+    x = dev_g1([o_g1(O.g1_mul(g1o, 7))])
+    ix = cg.iota(G1, x)
+    assert bool(np.asarray(ix[2][0, 0])) is True       # first slot infinity
+    assert not bool(np.asarray(ix[2][1, 0]))
+    assert np.array_equal(np.asarray(ix[0][:, 1, 0]), np.asarray(x[0][:, 0]))
+
+    # G2 side: iota2'(a) == (u2 * a, (v2 + g2) * a)
+    got2 = K.to_affine(G2, K.iota_prime(G2, crs.v_base, a_d))
+    got2_pts = g2_affine_to_ints(
+        cg.aff_map(G2, got2, lambda l: l.reshape(l.shape[:-2] + (2,)),
+                   lambda i: i.reshape(2)))
+    u2 = aff_to_oracle_g2(cg.aff_index(G2, cg.aff_index(G2, crs.v, 0, 0), 0, 1))
+    v2 = aff_to_oracle_g2(cg.aff_index(G2, cg.aff_index(G2, crs.v, 0, 1), 0, 1))
+    e0 = O.g2_mul(u2, a)
+    e1 = O.g2_mul(O.g2_add(v2, g2o), a)
+    assert got2_pts[0] == (tuple(c.v for c in e0[0].c),
+                           tuple(c.v for c in e0[1].c))
+    assert got2_pts[1] == (tuple(c.v for c in e1[0].c),
+                           tuple(c.v for c in e1[1].c))
+
+
+def _coms_equal(curve, a, b):
+    ax = np.asarray(curve.F.normalize(a[0])), np.asarray(curve.F.normalize(a[1]))
+    bx = np.asarray(curve.F.normalize(b[0])), np.asarray(curve.F.normalize(b[1]))
+    inf_a, inf_b = np.asarray(a[2]), np.asarray(b[2])
+    if not np.array_equal(inf_a, inf_b):
+        return False
+    live = ~inf_a
+    return (np.array_equal(ax[0][..., live], bx[0][..., live])
+            and np.array_equal(ax[1][..., live], bx[1][..., live]))
+
+
+def test_batch_commit_equals_single(setup):
+    """batch commit == concat of per-element commits with the same
+    randomness (commit.rs:439-548 twin-RNG equivalence, all 4 commit fns)."""
+    crs, g1o, g2o = setup
+    rng = GsRng(4242)
+    m = 3
+    xs = [O.g1_mul(g1o, k) for k in rng.fr_ints(m)]
+    rand = rng.fr_std((m, 2))
+
+    whole = batch_commit_G1(dev_g1(xs), crs, rand=rand)
+    parts = [batch_commit_G1(dev_g1([xs[i]]), crs,
+                             rand=rand[:, i:i + 1, :]).coms for i in range(m)]
+    cat = cg.aff_concat(G1, parts, axis=1)
+    assert _coms_equal(G1, whole.coms, cat)
+
+    ys = [O.g2_mul(g2o, k) for k in rng.fr_ints(m)]
+    rand2 = rng.fr_std((m, 2))
+    whole2 = batch_commit_G2(dev_g2(ys), crs, rand=rand2)
+    parts2 = [batch_commit_G2(dev_g2([ys[i]]), crs,
+                              rand=rand2[:, i:i + 1, :]).coms for i in range(m)]
+    assert _coms_equal(G2, whole2.coms, cg.aff_concat(G2, parts2, axis=1))
+
+    # scalar commits (commit.rs:125-156, :228-256)
+    sc = rng.fr_std((m,))
+    rs = rng.fr_std((m, 1))
+    w1 = batch_commit_scalar_B1(sc, crs, rand=rs)
+    p1 = [batch_commit_scalar_B1(sc[:, i:i + 1], crs,
+                                 rand=rs[:, i:i + 1, :]).coms
+          for i in range(m)]
+    assert _coms_equal(G1, w1.coms, cg.aff_concat(G1, p1, axis=1))
+
+    w2 = batch_commit_scalar_B2(sc, crs, rand=rs)
+    p2 = [batch_commit_scalar_B2(sc[:, i:i + 1], crs,
+                                 rand=rs[:, i:i + 1, :]).coms
+          for i in range(m)]
+    assert _coms_equal(G2, w2.coms, cg.aff_concat(G2, p2, axis=1))
+
+
+def _small_ppe(crs, g1o, g2o, rng_seed=555):
+    rng = GsRng(rng_seed)
+    xo = [O.g1_mul(g1o, 2), O.g1_mul(g1o, 3)]
+    yo = [O.g2_mul(g2o, 4)]
+    ao = [O.g1_mul(g1o, 17)]
+    bo = [None, O.g2_mul(g2o, 23)]
+    t = (O.pairing(xo[1], bo[1]) * O.pairing(ao[0], yo[0])
+         * O.pairing(xo[0], O.g2_mul(yo[0], 5)))
+    equ = PPE(a_consts=dev_g1(ao), b_consts=dev_g2(bo),
+              gamma=dev_fr([5, 0]).reshape(FR.n, 2, 1), target=dev_gt(t))
+    return equ, dev_g1(xo), dev_g2(yo), rng
+
+
+def test_commit_and_prove_equals_commit_then_prove(setup):
+    """commit_and_prove == batch_commit; prove with a same-seed RNG
+    (prove.rs:510-971 RNG-synchronization equivalence)."""
+    crs, g1o, g2o = setup
+    equ, xv, yv, rng = _small_ppe(crs, g1o, g2o)
+
+    cp = commit_and_prove(equ, xv, yv, crs, GsRng(2718))
+
+    rng2 = GsRng(2718)
+    xcoms = batch_commit_G1(xv, crs, rng2)
+    ycoms = batch_commit_G2(yv, crs, rng2)
+    proof = prove(equ, xv, yv, xcoms, ycoms, crs, rng2)
+
+    assert _coms_equal(G1, cp.xcoms.coms, xcoms.coms)
+    assert _coms_equal(G2, cp.ycoms.coms, ycoms.coms)
+    assert _coms_equal(G2, cp.equ_proofs[0].pi, proof.pi)
+    assert _coms_equal(G1, cp.equ_proofs[0].theta, proof.theta)
+
+
+def test_same_seed_identical_proof_bytes(setup):
+    """Determinism: same seed -> byte-identical serialized proofs
+    (SURVEY.md section 5 race-detection/determinism plan)."""
+    crs, g1o, g2o = setup
+    equ, xv, yv, _ = _small_ppe(crs, g1o, g2o)
+    b = []
+    for _ in range(2):
+        cp = commit_and_prove(equ, xv, yv, crs, GsRng(90210))
+        b.append(serde.proof_to_bytes(cp.equ_proofs[0])
+                 + serde.commit1_to_bytes(cp.xcoms)
+                 + serde.commit2_to_bytes(cp.ycoms))
+    assert b[0] == b[1]
+    assert verify(equ, cp, crs)
+
+
+def test_hiding_crs_e2e(setup):
+    """Hiding-key CRS (generator.rs:63-77 dead code made live) still
+    proves and verifies a satisfied PPE."""
+    _, g1o_b, g2o_b = setup
+    rng = GsRng(6021)
+    crs = generate_crs(rng, hiding=True)
+    g1o = aff_to_oracle_g1(crs.g1_gen)
+    g2o = aff_to_oracle_g2(crs.g2_gen)
+    equ, xv, yv, prng = _small_ppe(crs, g1o, g2o)
+    proof = commit_and_prove(equ, xv, yv, crs, prng)
+    assert verify(equ, proof, crs)
+
+    bad = PPE(equ.a_consts, equ.b_consts, equ.gamma,
+              dev_gt(O.pairing(g1o, g2o)))
+    assert not verify(bad, proof, crs)

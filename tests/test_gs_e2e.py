@@ -142,6 +142,11 @@ def test_msmeg2_verifies(crs_and_gens):
     proof = commit_and_prove(equ, dev_fr(x_sc), dev_g2(yo), crs, rng)
     assert verify(equ, proof, crs)
 
+    # negative: tampered pi must fail
+    proof.equ_proofs[0].pi = tuple(
+        jnp.roll(l, 1, axis=-1) for l in proof.equ_proofs[0].pi)
+    assert not verify(equ, proof, crs)
+
 
 def test_quad_verifies(crs_and_gens):
     """tests/prover.rs:142-172: c2 x2 + c1 y1 + 5 x1 y1 = t in Fr."""
