@@ -492,19 +492,22 @@ class _Fq12:
             return self.conj(a) if conjugate_result else a
         bit_list = [(e >> (nbits - 1 - i)) & 1 for i in range(nbits)]
 
-        if sum(bit_list) <= 8:                   # static sparse schedule
-            def body(acc, _):
-                return self.cyclotomic_sqr(acc), None
+        if sum(bit_list) <= 8:                   # sparse exponent
+            # ONE scan; the rare multiply runs under lax.cond on a static
+            # per-iteration flag. Same op count as a segmented static
+            # schedule (n-1 squarings + weight-1 muls), but a single
+            # compiled scan body instead of one scan instance per
+            # squaring run -- final-exp cold-compile drops several-fold.
+            flags = jnp.asarray(np.array(bit_list[1:], dtype=np.bool_))
 
-            out, run = a, 0
-            for b in bit_list[1:]:
-                run += 1
-                if b:
-                    out, _ = lax.scan(body, out, None, length=run)
-                    out = self.mul(out, a)
-                    run = 0
-            if run:
-                out, _ = lax.scan(body, out, None, length=run)
+            def body(acc, mul_flag):
+                acc = self.cyclotomic_sqr(acc)
+                acc = lax.cond(mul_flag,
+                               lambda t: self.mul(t, a),
+                               lambda t: t, acc)
+                return acc, None
+
+            out, _ = lax.scan(body, a, flags)
         else:
             bits = jnp.asarray(np.array(bit_list[1:], dtype=np.uint32))
 

@@ -14,9 +14,28 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "chips") -> Mesh:
-    """A 1-D mesh over the first n_devices (default: all)."""
+    """A 1-D mesh over the first n_devices (default: all).
+
+    If the default backend has too few devices but the CPU backend (with
+    ``--xla_force_host_platform_device_count=N``) has enough, fall back to
+    the CPU devices -- this is how the driver's multichip dryrun gets an
+    8-device mesh even when the container pins JAX_PLATFORMS to the single
+    tunneled TPU.
+    """
     devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= n_devices:
+                devs = cpu
+        except RuntimeError:
+            pass
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"need {n_devices} devices, have {len(devs)} "
+                f"(default backend) -- set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
