@@ -80,7 +80,9 @@ def _com_matvec_jit(curve, scal_std, com_vec):
 
 def com_matvec(curve, scal_std, com_vec):
     """Padded + jitted (I, K) x Com(2, K) -> jac Com(2, I)."""
+    from ..utils import metrics
     I, K = scal_std.shape[1], scal_std.shape[2]
+    metrics.count("com_matvec_points", 2 * I * K)
     Kp = next_pow2(K)
     out = _com_matvec_jit(curve, pad_scal(scal_std, 2, Kp),
                           pad_aff(curve, com_vec, 1, Kp))

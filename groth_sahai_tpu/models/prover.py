@@ -20,7 +20,7 @@ types and sizes.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Optional
 
 import jax
@@ -45,6 +45,12 @@ from .statement import EquType
 class Commit1:
     coms: Any            # Com1 vector (2, m) affine
     rand: Any            # uint32[17, m, wx] std-form
+    # Per-row true randomness widths, or None when uniform (= rand's last
+    # dim). Set by mixed-kind `append` (the reference's ragged Vec<Vec<Fr>>,
+    # commit.rs:42-52): narrower rows are zero-padded in `rand` (r*u1 ==
+    # r*u1 + 0*u2, so padding is algebraically neutral) and their true
+    # widths recorded here so serde reproduces the ragged reference layout.
+    row_widths: Any = field(default=None, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -52,6 +58,7 @@ class Commit1:
 class Commit2:
     coms: Any            # Com2 vector (2, n) affine
     rand: Any            # uint32[17, n, wy] std-form
+    row_widths: Any = field(default=None, metadata=dict(static=True))
 
 
 def _commit_group(curve, key_vec, vars_aff, rand_std):
@@ -106,22 +113,44 @@ def batch_commit_scalar_B2(scalar_yvars, crs: CRS,
                                        scalar_yvars, rand), rand=rand)
 
 
-def append_commit1(a: Commit1, b: Commit1) -> Commit1:
+def _widths_of(c) -> tuple:
+    if c.row_widths is not None:
+        return tuple(c.row_widths)
+    return (int(c.rand.shape[-1]),) * int(c.rand.shape[1])
+
+
+def _pad_rand(rand, to_w: int):
+    w = rand.shape[-1]
+    if w == to_w:
+        return rand
+    return jnp.pad(rand, ((0, 0), (0, 0), (0, to_w - w)))
+
+
+def _append_commits(cls, curve, a, b):
     """Commit::append (commit.rs:42-52): concatenate commitment vectors.
 
-    Both halves must have the same randomness width (group commits w=2,
-    scalar commits w=1) — the reference's ragged Vec<Vec<Fr>> rand matrix
-    maps to a rectangular limb array here.
+    The reference's rand is a ragged Vec<Vec<Fr>> (group rows w=2, scalar
+    rows w=1) and append just concatenates rows. Here mixed-kind appends
+    zero-pad the narrower rows (algebraically neutral: r*u1 == r*u1 + 0*u2)
+    and record true per-row widths for ragged-exact serde round-trips.
     """
-    assert a.rand.shape[-1] == b.rand.shape[-1], "mixed commit kinds"
-    return Commit1(coms=cg.aff_concat(G1, [a.coms, b.coms], axis=1),
-                   rand=jnp.concatenate([a.rand, b.rand], axis=1))
+    wa, wb = int(a.rand.shape[-1]), int(b.rand.shape[-1])
+    w = max(wa, wb)
+    rand = jnp.concatenate([_pad_rand(a.rand, w), _pad_rand(b.rand, w)],
+                           axis=1)
+    widths = None
+    if wa != wb or a.row_widths is not None or b.row_widths is not None:
+        widths = _widths_of(a) + _widths_of(b)
+    return cls(coms=cg.aff_concat(curve, [a.coms, b.coms], axis=1),
+               rand=rand, row_widths=widths)
+
+
+def append_commit1(a: Commit1, b: Commit1) -> Commit1:
+    return _append_commits(Commit1, G1, a, b)
 
 
 def append_commit2(a: Commit2, b: Commit2) -> Commit2:
-    assert a.rand.shape[-1] == b.rand.shape[-1], "mixed commit kinds"
-    return Commit2(coms=cg.aff_concat(G2, [a.coms, b.coms], axis=1),
-                   rand=jnp.concatenate([a.rand, b.rand], axis=1))
+    return _append_commits(Commit2, G2, a, b)
 
 
 # ---------------------------------------------------------------------------

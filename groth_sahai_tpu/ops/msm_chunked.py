@@ -37,7 +37,7 @@ def _save_partial(curve: Curve, ckpt_dir: str, idx: int, jac) -> None:
     if curve.ns == 1:
         data = serde.g1_vec_to_bytes_bulk(aff, compressed=False)
     else:
-        data = serde.g2_vec_to_bytes(aff, compressed=False)
+        data = serde.g2_vec_to_bytes_bulk(aff, compressed=False)
     tmp = _partial_path(ckpt_dir, idx) + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
@@ -53,7 +53,7 @@ def _load_partial(curve: Curve, ckpt_dir: str, idx: int):
     if curve.ns == 1:
         aff, _ = serde.g1_vec_from_bytes_bulk(data, validate=True)
     else:
-        aff, _ = serde.g2_vec_from_bytes(data, compressed=False)
+        aff, _ = serde.g2_vec_from_bytes_bulk(data, validate=True)
     return curve.from_affine(
         jax.tree_util.tree_map(lambda l: l[..., 0], aff))
 

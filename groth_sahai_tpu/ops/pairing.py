@@ -6,9 +6,10 @@ data_structures.rs:484-502) -- the dominant cost of GS verification
 (SURVEY.md section 3.3).
 
 TPU-native design:
-  * The Miller loop is a `lax.scan` over the 63 bits of |x| with a uniform
-    body (doubling step always, addition step applied via select), so one
-    compiled body serves the whole loop and arbitrary batch shapes.
+  * The Miller loop is ONE `lax.scan` over the 63 bits of |x|: the doubling
+    step runs every iteration and the rare addition step (|x| has Hamming
+    weight 6) runs under `lax.cond` keyed by a static per-iteration flag,
+    so a single compiled body serves the whole loop and any batch shape.
   * Line evaluations build sparse Fq12 elements; G1 arguments enter as
     affine coordinate arrays, G2 as homogeneous projective over Fq2.
   * `multi_miller` multiplies Miller outputs across an axis BEFORE the
@@ -49,29 +50,9 @@ _V3 = _V_ABS // 3
 assert _V3 * 3 == _V_ABS and _V3 * _V_ABS == _U_HARD
 
 
-def _segments(bits):
-    """Static Miller schedule: [(n_dbl, do_add), ...] covering bits[1:].
-
-    |x| has Hamming weight 6, so only 5 of the 63 iterations need the
-    addition step; running it every iteration and selecting it away (the
-    round-1 design) nearly doubled both the Miller runtime and the graph.
-    Each segment is `n_dbl` doubling steps followed (iff `do_add`) by one
-    addition step.
-    """
-    segs, run = [], 0
-    for b in bits[1:]:
-        run += 1
-        if b:
-            segs.append((run, True))
-            run = 0
-    if run:
-        segs.append((run, False))
-    return segs
-
-
-_X_SCHEDULE = _segments(_X_BITS)
-assert sum(s[0] for s in _X_SCHEDULE) == len(_X_BITS) - 1
-assert sum(1 for s in _X_SCHEDULE if s[1]) == sum(_X_BITS[1:])
+# |x| has Hamming weight 6: only 5 of the 63 Miller iterations take the
+# addition step (they run under lax.cond in miller_loop's scan body).
+assert sum(_X_BITS) == 6 and len(_X_BITS) == 64
 
 
 def _bcast_const(arr, batch_ndim):

@@ -27,6 +27,13 @@ def make_mesh(n_devices: int | None = None, axis: str = "chips") -> Mesh:
         try:
             cpu = jax.devices("cpu")
             if len(cpu) >= n_devices:
+                import warnings
+                warnings.warn(
+                    f"make_mesh: default backend "
+                    f"'{jax.default_backend()}' has {len(devs)} device(s) "
+                    f"< {n_devices}; falling back to the {len(cpu)}-device "
+                    f"CPU backend (virtual mesh, NOT accelerator hardware)",
+                    stacklevel=2)
                 devs = cpu
         except RuntimeError:
             pass

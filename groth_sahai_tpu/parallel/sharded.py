@@ -69,7 +69,14 @@ def sharded_msm(mesh: Mesh, curve, points_aff, scalars_std,
     n_devices. Returns a replicated Jacobian point ().
     (`lanes` is accepted and ignored -- see ops/msm.py.)
     """
+    from ..utils import metrics
     ns = curve.ns
+    D = mesh.shape[axis]
+    N = points_aff[2].shape[-1]
+    metrics.count("sharded_msm_points", N)
+    # the only collective: all-gather of one Jacobian partial per device
+    jac_bytes = 3 * curve.F.n * (2 if ns == 2 else 1) * 4
+    metrics.collective_bytes(D, jac_bytes, "msm_merge")
     pts = (_split_leading(mesh, points_aff[0], ns, axis),
            _split_leading(mesh, points_aff[1], ns, axis),
            _split_leading(mesh, points_aff[2], 0, axis))
@@ -94,6 +101,12 @@ def sharded_multi_pairing(mesh: Mesh, p_aff, q_aff, axis: str = "chips"):
     p_aff: G1 affine (K,), q_aff: G2 affine (K,); K divisible by n_devices.
     Returns a replicated Fq12 (nl, 12).
     """
+    from ..ops.fp import FQ
+    from ..utils import metrics
+    D = mesh.shape[axis]
+    metrics.count("sharded_pairings", p_aff[2].shape[-1])
+    # the only collective: all-gather of one Fq12 Miller partial per device
+    metrics.collective_bytes(D, FQ.n * 12 * 4, "pairing_merge")
     p = (_split_leading(mesh, p_aff[0], 1, axis),
          _split_leading(mesh, p_aff[1], 1, axis),
          _split_leading(mesh, p_aff[2], 0, axis))

@@ -142,9 +142,12 @@ def test_msmeg2_verifies(crs_and_gens):
     proof = commit_and_prove(equ, dev_fr(x_sc), dev_g2(yo), crs, rng)
     assert verify(equ, proof, crs)
 
-    # negative: tampered pi must fail
+    # negative: tampered pi must fail. pi for MSMEG2 is a Com2 vector of
+    # width wx=1, so rolling the LAST axis would be a no-op; roll the B2
+    # pair axis (size 2, axis -2 of coords AND inf) -- swapping the two
+    # Com2 components is a real tamper the verifier must reject.
     proof.equ_proofs[0].pi = tuple(
-        jnp.roll(l, 1, axis=-1) for l in proof.equ_proofs[0].pi)
+        jnp.roll(l, 1, axis=-2) for l in proof.equ_proofs[0].pi)
     assert not verify(equ, proof, crs)
 
 
