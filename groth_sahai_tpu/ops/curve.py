@@ -257,6 +257,14 @@ class Curve:
         def body(acc, dig):
             for _ in range(window):
                 acc = self.double(acc)
+            # XLA:TPU MISCOMPILES this scan body without the barrier: a
+            # body that chains `window` doubles INTO the table-select add
+            # computes wrong limbs on TPU (G2 shapes; bisected in
+            # scripts/probe_g2_scan.py -- each half alone is exact, the
+            # unrolled form is exact, fori_loop reproduces the bug, and
+            # an optimization_barrier between the halves fixes it). This
+            # was the round-2 BENCH checksum failure's root cause.
+            acc = lax.optimization_barrier(acc)
             onehot = (jnp.arange(ntab, dtype=jnp.uint32).reshape(
                 (ntab,) + (1,) * len(batch)) == dig[None]).astype(jnp.uint32)
             sel = jax.tree_util.tree_map(
