@@ -233,12 +233,15 @@ class Curve:
         nwin = 256 // window
         ntab = 1 << window
         batch = np.shape(p_affine[2])
+        from . import pallas_curve as PC
+        fused = PC.usable(self, p_affine, scalar_limbs)
 
         # table[j] = j * P, Jacobian, table axis = first batch axis.
         # Built with ONE scanned add_mixed body (not 2^w - 2 inlined adds:
         # XLA CPU compile time scales with distinct instances).
         def tab_step(acc, _):
-            acc = self.add_mixed(acc, p_affine)
+            acc = (PC.madd(acc, p_affine, curve=self) if fused
+                   else self.add_mixed(acc, p_affine))
             return acc, acc
 
         p1 = self.from_affine(p_affine)
@@ -255,23 +258,27 @@ class Curve:
         digs = jnp.stack([digit_at(nwin - 1 - k) for k in range(nwin)])
 
         def body(acc, dig):
-            for _ in range(window):
-                acc = self.double(acc)
-            # XLA:TPU MISCOMPILES this scan body without the barrier: a
-            # body that chains `window` doubles INTO the table-select add
-            # computes wrong limbs on TPU (G2 shapes; bisected in
-            # scripts/probe_g2_scan.py -- each half alone is exact, the
-            # unrolled form is exact, fori_loop reproduces the bug, and
-            # an optimization_barrier between the halves fixes it). This
-            # was the round-2 BENCH checksum failure's root cause.
-            acc = lax.optimization_barrier(acc)
+            if fused:
+                acc = PC.dbl_n(acc, window, curve=self)
+            else:
+                for _ in range(window):
+                    acc = self.double(acc)
+                # XLA:TPU MISCOMPILES this scan body without the barrier: a
+                # body that chains `window` doubles INTO the table-select
+                # add computes wrong limbs on TPU (G2 shapes; bisected in
+                # scripts/probe_g2_scan.py -- each half alone is exact, the
+                # unrolled form is exact, fori_loop reproduces the bug, and
+                # an optimization_barrier between the halves fixes it).
+                # This was the round-2 BENCH checksum failure's root cause.
+                acc = lax.optimization_barrier(acc)
             onehot = (jnp.arange(ntab, dtype=jnp.uint32).reshape(
                 (ntab,) + (1,) * len(batch)) == dig[None]).astype(jnp.uint32)
             sel = jax.tree_util.tree_map(
                 lambda l: (l * onehot.reshape(
                     (1,) * self.ns + onehot.shape)).sum(
                         axis=self.ns, dtype=jnp.uint32), table)
-            acc = self.add(acc, sel)
+            acc = (PC.add(acc, sel, curve=self) if fused
+                   else self.add(acc, sel))
             return acc, None
 
         out, _ = lax.scan(body, self.inf_jac(batch), digs)

@@ -146,10 +146,15 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
 
     # ---- 4: per-lane running prefix (the only sequential loop) -------------
     ns = curve.ns
+    from . import pallas_curve as PC
+    fused = PC.usable(curve, points_aff, scalars_std)
 
     def row_step(acc, inp):
         px, py, pinf = inp
-        acc = curve.add_mixed(acc, (px, py, pinf))
+        if fused:
+            acc = PC.madd(acc, (px, py, pinf), curve=curve)
+        else:
+            acc = curve.add_mixed(acc, (px, py, pinf))
         return acc, acc
 
     xs = (jnp.moveaxis(pts[0], ns, 0), jnp.moveaxis(pts[1], ns, 0), pts[2])
@@ -169,7 +174,8 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
                 [lax.slice_in_dim(ip, 0, shift, axis=ns),
                  lax.slice_in_dim(li, 0, width - shift, axis=ns)], axis=ns)
             for ip, li in zip(inf_pad, lane_incl))
-        lane_incl = curve.add(lane_incl, shifted)
+        lane_incl = (PC.add(lane_incl, shifted, curve=curve) if fused
+                     else curve.add(lane_incl, shifted))
         shift *= 2
     inf1 = curve.inf_jac((1,))
     lane_excl = tuple(
@@ -208,19 +214,25 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
     # T_{w,d} = u_end - u_starts: one batched add. add() outputs normally
     # have Y < 6p, but its is_dbl select can pass a double() result through
     # (Y < 18p), so negate with k=32.
-    diffs = curve.add(
-        tuple(jnp.broadcast_to(l[..., :, None],
-                               l.shape + (nbuck - 1,)) for l in u_end),
-        curve.neg(u_starts, k=32))
+    bigL = tuple(jnp.broadcast_to(l[..., :, None],
+                                  l.shape + (nbuck - 1,)) for l in u_end)
+    negR = curve.neg(u_starts, k=32)
+    diffs = (PC.add(bigL, negR, curve=curve) if fused
+             else curve.add(bigL, negR))
     wsums = curve.sum_reduce(diffs, axis=1)                     # jac (W,)
 
     # ---- 7: combine windows: acc = sum_k 2^(w k) wsums[k], high to low -----
     def win_step(acc, k_rev):
-        for _ in range(window):
-            acc = curve.double(acc)
+        if fused:
+            acc = PC.dbl_n(acc, window, curve=curve)
+        else:
+            for _ in range(window):
+                acc = curve.double(acc)
         wk = jax.tree_util.tree_map(
             lambda l: jnp.take(l, k_rev, axis=curve.ns), wsums)
-        return curve.add(acc, wk), None
+        acc = (PC.add(acc, wk, curve=curve) if fused
+               else curve.add(acc, wk))
+        return acc, None
 
     acc, _ = lax.scan(win_step, curve.inf_jac(()),
                       jnp.arange(n_windows - 1, -1, -1))

@@ -1,0 +1,242 @@
+"""Fused Pallas kernels for whole Fq2/Fq6/Fq12 tower multiplies.
+
+ONE `pallas_call` per Fq12 multiply / square / cyclotomic square instead of
+the mul_wide -> XLA-combine -> redc kernel trio plus glue: the measured
+pairing path is dispatch-bound (~2% VPU utilization), and a Miller loop is
+~450 Fq12-level ops in sequence.
+
+Direct transcription of ops/tower.py's Karatsuba structure onto the
+register-level field library (ops/pallas_reg.py), with per-product
+Montgomery reduction instead of the wide-domain lazy reduction (costs
+~1.3x the multiplies of the lazy path, buys a single fused kernel and a
+simple NARROW-domain bound audit):
+
+  Fq2.mul:  c0 = t0 - t1 < 4p ; c1 = t2 - t0 - t1 < 6p   (mm outputs < 2p)
+  Fq6.mul:  c0 < 42p ; c1 < 30p ; c2 < 24p
+  Fq12.mul: raw c0 < 90p, c1 < 126p, then POST-REDUCED to < 2p by one
+  Montgomery multiply with the constant R mod p per coefficient (12 extra
+  mm on top of Karatsuba's 54). The post-reduction closes the bound chain:
+  operand sums compound x2 per Karatsuba level (Fq12 -> Fq6 -> Fq2 = x8),
+  so inputs b must satisfy 8*bound(a) * 8*bound(b) <= 2^16 p^2, i.e.
+  bound(a)*bound(b) <= 1024 p^2 -- holds for all call sites (f < 2p,
+  line values < 10p, ratio terms < 32p).
+
+Layout contract matches pallas_fp/pallas_curve: an Fq12 batch
+``uint32[nl, 12, *batch]`` flattens to ``(nl*12, M)`` rows and tiles as
+``(rows, S, 128)`` blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_reg as R
+from . import pallas_fp as PF
+
+_U32 = jnp.uint32
+
+
+# ------------------------------------------------------- in-kernel tower math
+#
+# An Fq2 value is a pair (c0, c1) of (nl, S, L) arrays; an Fq6 a triple of
+# Fq2; an Fq12 a pair of Fq6. All exact limbs.
+
+def _f2_mul(nl, n0, p, a, b):
+    """Karatsuba Fq2 mul; outputs (c0 < 4p, c1 < 6p). Inputs < 128p."""
+    mm = lambda x, y: R.mont_mul(nl, n0, p, x, y)
+    kp2 = R.kp_limbs(p, 2)
+    t0 = mm(a[0], b[0])
+    t1 = mm(a[1], b[1])
+    t2 = mm(R.add(a[0], a[1]), R.add(b[0], b[1]))
+    c0 = R.sub(t0, t1, kp2)                        # < 4p
+    c1 = R.sub(R.sub(t2, t0, kp2), t1, kp2)        # < 6p
+    return (c0, c1)
+
+
+def _f2_add(a, b):
+    return (R.add(a[0], b[0]), R.add(a[1], b[1]))
+
+
+def _f2_sub(a, b, kp_rows):
+    return (R.sub(a[0], b[0], kp_rows), R.sub(a[1], b[1], kp_rows))
+
+
+def _f2_xi(p, a, k: int):
+    """(u+1) * a = (a0 - a1, a0 + a1); bound(a) <= k*p."""
+    kpk = R.kp_limbs(p, k)
+    return (R.sub(a[0], a[1], kpk), R.add(a[0], a[1]))
+
+
+def _f6_mul(nl, n0, p, a, b):
+    """Karatsuba Fq6 mul (tower.py mul_wide6 structure, narrow domain).
+
+    Outputs: c0 < 42p, c1 < 30p, c2 < 24p. Inputs < 128p componentwise.
+    """
+    f2 = lambda x, y: _f2_mul(nl, n0, p, x, y)
+    kp6 = R.kp_limbs(p, 6)
+    t0 = f2(a[0], b[0])
+    t1 = f2(a[1], b[1])
+    t2 = f2(a[2], b[2])
+    s1 = f2(_f2_add(a[1], a[2]), _f2_add(b[1], b[2]))
+    s2 = f2(_f2_add(a[0], a[1]), _f2_add(b[0], b[1]))
+    s3 = f2(_f2_add(a[0], a[2]), _f2_add(b[0], b[2]))
+    # u = s1 - t1 - t2 < 18p ; c0 = t0 + xi(u) < 6p + 36p = 42p
+    u = _f2_sub(_f2_sub(s1, t1, kp6), t2, kp6)
+    c0 = _f2_add(t0, _f2_xi(p, u, 18))
+    # c1 = s2 - t0 - t1 + xi(t2) < 6p + 12p + 12p = 30p
+    c1 = _f2_sub(_f2_sub(_f2_add(s2, _f2_xi(p, t2, 6)), t0, kp6), t1, kp6)
+    # c2 = s3 + t1 - t0 - t2 < 12p + 12p = 24p
+    c2 = _f2_sub(_f2_sub(_f2_add(s3, t1), t0, kp6), t2, kp6)
+    return (c0, c1, c2)
+
+
+def _f6_add(a, b):
+    return tuple(_f2_add(x, y) for x, y in zip(a, b))
+
+
+def _f6_mul_by_v(p, a, k: int):
+    """* v: (xi(c2), c0, c1); bound(c2) <= k*p."""
+    return (_f2_xi(p, a[2], k), a[0], a[1])
+
+
+def _f12_mul(nl, n0, p, a, b):
+    """Fq12 Karatsuba over Fq6; outputs c0 < 90p, c1 < 126p."""
+    f6 = lambda x, y: _f6_mul(nl, n0, p, x, y)
+    t0 = f6(a[0], b[0])
+    t1 = f6(a[1], b[1])
+    ts = f6(_f6_add(a[0], a[1]), _f6_add(b[0], b[1]))
+    # c0 = t0 + v * t1: v-rotation puts xi(t1.c2 < 24p) < 48p in slot 0
+    vt1 = _f6_mul_by_v(p, t1, 24)
+    c0 = _f6_add(t0, vt1)                          # < 42p + 48p = 90p
+    # c1 = ts - t0 - t1 < 42p + 42p + 42p = 126p
+    kp42 = R.kp_limbs(p, 42)
+    c1 = tuple(_f2_sub(_f2_sub(x, y, kp42), z, kp42)
+               for x, y, z in zip(ts, t0, t1))
+    return (c0, c1)
+
+
+def _split12(x, nl):
+    """(nl*12, S, L) -> Fq12 nested tuples (2 x 3 x 2 of (nl, S, L))."""
+    def coeff(m):
+        return x[m * nl:(m + 1) * nl]
+
+    return tuple(
+        tuple((coeff(6 * i + 2 * j), coeff(6 * i + 2 * j + 1))
+              for j in range(3))
+        for i in range(2))
+
+
+def _join12(c, nl):
+    rows = []
+    for i in range(2):
+        for j in range(3):
+            rows.append(c[i][j][0])
+            rows.append(c[i][j][1])
+    return jnp.concatenate(rows, 0)
+
+
+def _mont_one_rows(nl, tail_shape):
+    """R mod p limb rows as in-kernel scalar constants."""
+    from .fp import FQ
+    from .limbs import int_to_limbs
+    limbs = int_to_limbs(FQ.r_mod_p, nl)
+    rows = [jnp.full((1,) + tuple(tail_shape), _U32(int(v)))
+            for v in limbs]
+    return jnp.concatenate(rows, 0)
+
+
+def _fq12_mul_kernel(nl, n0, a_ref, b_ref, p_ref, o_ref):
+    p = p_ref[...]
+    a = _split12(a_ref[...], nl)
+    b = _split12(b_ref[...], nl)
+    c = _f12_mul(nl, n0, p, a, b)
+    one = _mont_one_rows(nl, p.shape[1:])
+    red = lambda x: R.mont_mul(nl, n0, p, x, one)   # post-reduce to < 2p
+    c = tuple(tuple((red(f2[0]), red(f2[1])) for f2 in f6) for f6 in c)
+    o_ref[...] = _join12(c, nl)
+
+
+# ------------------------------------------------------------------- wrappers
+
+def _call12(kernel, arrays, interpret):
+    from .fp import FQ
+    nl = FQ.n
+    m = arrays[0].shape[1]
+    rows = nl * 12
+    # 1-vreg batch tiles: see pallas_curve._call_curve (scoped-VMEM peak)
+    mp = -(-m // PF._VREG) * PF._VREG
+    s_tile = PF._SUB
+    s_total = mp // PF._LANE
+    args = [jnp.pad(x, ((0, 0), (0, mp - x.shape[1]))) if mp != m else x
+            for x in arrays]
+    args = [x.reshape(rows, s_total, PF._LANE) for x in args]
+    in_specs = [pl.BlockSpec((rows, s_tile, PF._LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM) for _ in args]
+    args.append(jnp.broadcast_to(
+        jnp.asarray(FQ.p_limbs, dtype=_U32).reshape(nl, 1, 1),
+        (nl, s_tile, PF._LANE)))
+    in_specs.append(pl.BlockSpec((nl, s_tile, PF._LANE),
+                                 lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel,
+        grid=(s_total // s_tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, s_tile, PF._LANE), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, s_total, PF._LANE), _U32),
+        interpret=interpret,
+    )(*args)
+    out = out.reshape(rows, mp)
+    return out[:, :m] if mp != m else out
+
+
+def _flat12(x):
+    """(nl, 12, *batch) -> (nl*12, M): coefficient-major rows."""
+    nl = x.shape[0]
+    batch = x.shape[2:]
+    m = int(np.prod(batch)) if batch else 1
+    return jnp.moveaxis(x, 1, 0).reshape(12 * nl, m), batch, m
+
+
+def _unflat12(rows, batch):
+    nl = rows.shape[0] // 12
+    m = rows.shape[1]
+    out = rows.reshape((12, nl) + (m,))
+    out = out.transpose(1, 0, 2)
+    return out.reshape((nl, 12) + tuple(batch))
+
+
+def fq12_mul(a, b, interpret: bool = False):
+    """Fused Fq12 multiply; inputs (nl, 12, *batch) < 126p coefficientwise."""
+    ar, batch, m = _flat12(a)
+    br, _, _ = _flat12(b)
+    from .fp import FQ
+    out = _call12(functools.partial(_fq12_mul_kernel, FQ.n, FQ.n0),
+                  [ar, br], interpret)
+    return _unflat12(out, batch)
+
+
+def fq12_sqr(a, interpret: bool = False):
+    """Fused Fq12 square = fq12_mul(a, a) (a dedicated 2-Fq6-mul squaring
+    kernel needs an in-kernel pre-reduction to keep its v-mixed operand
+    sums in bounds; the saving is ~25%, deferred)."""
+    return fq12_mul(a, a, interpret=interpret)
+
+
+def usable(*arrays) -> bool:
+    """Same dispatch guard as pallas_curve: Pallas on, not under vmap."""
+    if not PF.enabled():
+        return False
+    from jax._src.interpreters import batching
+    for arr in arrays:
+        for leaf in jax.tree_util.tree_leaves(arr):
+            if isinstance(leaf, batching.BatchTracer):
+                return False
+    return True

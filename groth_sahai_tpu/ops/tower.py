@@ -337,8 +337,16 @@ class _Fq12:
     def mul(self, a, b):
         """Karatsuba over Fq6; ONE stacked (nl, 54-wide) base multiply.
 
-        Inputs < 8p, output < 2p.
+        Inputs < 8p, output < 2p. On TPU (outside vmap) the whole multiply
+        runs as ONE fused Pallas kernel (ops/pallas_tower.py) -- the
+        pairing path is dispatch-bound without it.
         """
+        from . import pallas_tower as PT
+        import numpy as _np
+        if (PT.usable(a, b)
+                and int(_np.prod(a.shape[2:], dtype=_np.int64)) <= 4096
+                and int(_np.prod(b.shape[2:], dtype=_np.int64)) <= 4096):
+            return PT.fq12_mul(a, b)
         F6 = FQ6
         a0, a1 = self.c(a, 0), self.c(a, 1)
         b0, b1 = self.c(b, 0), self.c(b, 1)
@@ -358,6 +366,11 @@ class _Fq12:
         c0 = (a0+a1)(a0+v a1) - t - v t,  c1 = 2t,  t = a0 a1.
         Input bound: coeffs < 4p (Miller-loop f values are < 2p).
         """
+        from . import pallas_tower as PT
+        import numpy as _np
+        if (PT.usable(a)
+                and int(_np.prod(a.shape[2:], dtype=_np.int64)) <= 4096):
+            return PT.fq12_sqr(a)
         F6 = FQ6
         a0, a1 = self.c(a, 0), self.c(a, 1)
         s = FQ.add(a0, a1)                       # < 8p

@@ -15,9 +15,18 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import random
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+_pyrng = random.Random(7)
 
 from groth_sahai_tpu.ops import pallas_fp
 from groth_sahai_tpu.ops.fp import FQ, FR
@@ -28,9 +37,9 @@ rng = np.random.default_rng(7)
 
 def rand_elem(field, batch, bound_mult=1):
     """Random field element batch with value < bound_mult * p, exact limbs."""
-    vals = [int(rng.integers(0, field.p)) * 1 for _ in range(batch)]
+    vals = [_pyrng.randrange(0, field.p) for _ in range(batch)]
     if bound_mult > 1:
-        vals = [v + field.p * int(rng.integers(0, bound_mult - 1))
+        vals = [v + field.p * _pyrng.randrange(0, bound_mult - 1)
                 for v in vals]
     from groth_sahai_tpu.ops.limbs import ints_to_limbs
     return jnp.asarray(ints_to_limbs(vals, field.n))
@@ -85,8 +94,8 @@ def level1(batch=256):
     from groth_sahai_tpu.ops.tower import FQ2, FQ6, FQ12
     print(f"[level1] tower ops, batch={batch}", flush=True)
     all_ok = True
-    for name, F, shape in (("Fq2", FQ2, (2,)), ("Fq6", FQ6, (3, 2)),
-                           ("Fq12", FQ12, (2, 3, 2))):
+    for name, F, shape in (("Fq2", FQ2, (2,)), ("Fq6", FQ6, (6,)),
+                           ("Fq12", FQ12, (12,))):
         a = jnp.stack([rand_elem(FQ, batch) for _ in range(
             int(np.prod(shape)))], 1).reshape((FQ.n,) + shape + (batch,))
         b = jnp.stack([rand_elem(FQ, batch) for _ in range(

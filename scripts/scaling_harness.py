@@ -54,7 +54,10 @@ def main():
     rng = random.Random(5)
     from tests import oracle as O
 
-    per = 64                                  # points per device (dryrun size)
+    # Points per device: large enough that the sharded kernel measures
+    # bandwidth/compute, not dispatch (VERDICT r2 weak #9: 64/device
+    # measured compile+dispatch only). Overridable for smoke runs.
+    per = int(os.environ.get("GS_SCALING_PER_DEVICE", "16384"))
     N = n_dev * per
     base = [O.g1_mul(O.G1_GEN, k + 1) for k in range(16)]
     pts = g1_affine_from_ints(
@@ -67,13 +70,14 @@ def main():
         mesh = Mesh(full.devices.reshape(-1)[:d], ("chips",))
         # same global problem on d devices
         t0 = time.time()
-        out = sharded_msm(mesh, G1, pts, scal, window=4)
+        window = cfg.msm_window or 8
+        out = sharded_msm(mesh, G1, pts, scal, window=window)
         jax.block_until_ready(out)
         compile_s = time.time() - t0
         reps = []
         for _ in range(3):
             t0 = time.time()
-            out = sharded_msm(mesh, G1, pts, scal, window=4)
+            out = sharded_msm(mesh, G1, pts, scal, window=window)
             np.asarray(out[0][:1, :1])
             reps.append(time.time() - t0)
         results[d] = min(reps)
