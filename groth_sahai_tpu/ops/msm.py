@@ -149,16 +149,19 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
     from . import pallas_curve as PC
     fused = PC.usable(curve, points_aff, scalars_std)
 
-    def row_step(acc, inp):
-        px, py, pinf = inp
-        if fused:
-            acc = PC.madd(acc, (px, py, pinf), curve=curve)
-        else:
+    if fused:
+        # the WHOLE row scan as one pallas_call: grid-carried scratch
+        # accumulator, zero per-row dispatch/HBM-roundtrip overhead
+        lane_tot, ys = PC.msm_row_scan(curve, pts)
+    else:
+        def row_step(acc, inp):
+            px, py, pinf = inp
             acc = curve.add_mixed(acc, (px, py, pinf))
-        return acc, acc
+            return acc, acc
 
-    xs = (jnp.moveaxis(pts[0], ns, 0), jnp.moveaxis(pts[1], ns, 0), pts[2])
-    lane_tot, ys = lax.scan(row_step, curve.inf_jac((width,)), xs)
+        xs = (jnp.moveaxis(pts[0], ns, 0), jnp.moveaxis(pts[1], ns, 0),
+              pts[2])
+        lane_tot, ys = lax.scan(row_step, curve.inf_jac((width,)), xs)
     # ys leaves: (rows, *struct, width) jacobian prefixes per lane
 
     # ---- 5: exclusive lane prefix -> global prefix lookup -------------------

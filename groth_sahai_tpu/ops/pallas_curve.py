@@ -70,12 +70,15 @@ def usable(curve, *arrays) -> bool:
 # A `ctx` bundles (nl, n0, p block, kp cache, mont-one rows).
 
 class _Ctx:
-    def __init__(self, nl, n0, p):
+    """nl/n0 + modulus block + Montgomery-one block (both kernel INPUTS --
+    pallas kernels cannot capture array constants) + derived k*p cache."""
+
+    def __init__(self, nl, n0, p, one_rows):
         self.nl = nl
         self.n0 = n0
         self.p = p
+        self._one = one_rows
         self._kp = {}
-        self._one = None
 
     def kp(self, k):
         if k not in self._kp:
@@ -83,13 +86,6 @@ class _Ctx:
         return self._kp[k]
 
     def one(self):
-        if self._one is None:
-            from .fp import FQ
-            from .limbs import int_to_limbs
-            limbs = int_to_limbs(FQ.r_mod_p, self.nl)
-            rows = [jnp.full((1,) + tuple(self.p.shape[1:]), _U32(int(v)))
-                    for v in limbs]
-            self._one = jnp.concatenate(rows, 0)
         return self._one
 
 
@@ -298,9 +294,9 @@ def _unpack(F2, nl, x):
     return (x[:nl], x[nl:])
 
 
-def _madd_kernel(F2, nl, n0, X1, Y1, Z1, x2, y2, ainf, p_ref,
+def _madd_kernel(F2, nl, n0, X1, Y1, Z1, x2, y2, ainf, p_ref, one_ref,
                  oX, oY, oZ):
-    ctx = _Ctx(nl, n0, p_ref[...])
+    ctx = _Ctx(nl, n0, p_ref[...], one_ref[...])
     F = _Fq2A if F2 else _FqA
     u = lambda r: _unpack(F2, nl, r[...])
     X3, Y3, Z3 = _madd_body(F, ctx, u(X1), u(Y1), u(Z1), u(x2), u(y2),
@@ -310,8 +306,9 @@ def _madd_kernel(F2, nl, n0, X1, Y1, Z1, x2, y2, ainf, p_ref,
     oZ[...] = _pack(F2, Z3)
 
 
-def _add_kernel(F2, nl, n0, X1, Y1, Z1, X2, Y2, Z2, p_ref, oX, oY, oZ):
-    ctx = _Ctx(nl, n0, p_ref[...])
+def _add_kernel(F2, nl, n0, X1, Y1, Z1, X2, Y2, Z2, p_ref, one_ref,
+                oX, oY, oZ):
+    ctx = _Ctx(nl, n0, p_ref[...], one_ref[...])
     F = _Fq2A if F2 else _FqA
     u = lambda r: _unpack(F2, nl, r[...])
     X3, Y3, Z3 = _add_body(F, ctx, u(X1), u(Y1), u(Z1),
@@ -321,8 +318,9 @@ def _add_kernel(F2, nl, n0, X1, Y1, Z1, X2, Y2, Z2, p_ref, oX, oY, oZ):
     oZ[...] = _pack(F2, Z3)
 
 
-def _dbl_n_kernel(F2, nl, n0, n_times, X1, Y1, Z1, p_ref, oX, oY, oZ):
-    ctx = _Ctx(nl, n0, p_ref[...])
+def _dbl_n_kernel(F2, nl, n0, n_times, X1, Y1, Z1, p_ref, one_ref,
+                  oX, oY, oZ):
+    ctx = _Ctx(nl, n0, p_ref[...], one_ref[...])
     F = _Fq2A if F2 else _FqA
     u = lambda r: _unpack(F2, nl, r[...])
     X, Y, Z = u(X1), u(Y1), u(Z1)
@@ -384,12 +382,14 @@ def _call_curve(curve, kernel, arrays, row_counts, out_rows,
     args = [x.reshape(x.shape[0], s_total, PF._LANE) for x in args]
     in_specs = [pl.BlockSpec((r, s_tile, PF._LANE), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM) for r in row_counts]
-    args.append(jnp.broadcast_to(
-        jnp.asarray(FQ.p_limbs, dtype=_U32).reshape(nl, 1, 1),
-        (nl, s_tile, PF._LANE)))
-    in_specs.append(pl.BlockSpec((nl, s_tile, PF._LANE),
-                                 lambda i: (0, 0, 0),
-                                 memory_space=pltpu.VMEM))
+    from .limbs import int_to_limbs
+    for const in (FQ.p_limbs, int_to_limbs(FQ.r_mod_p, nl)):
+        args.append(jnp.broadcast_to(
+            jnp.asarray(const, dtype=_U32).reshape(nl, 1, 1),
+            (nl, s_tile, PF._LANE)))
+        in_specs.append(pl.BlockSpec((nl, s_tile, PF._LANE),
+                                     lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
         kernel,
         grid=(s_total // s_tile,),
@@ -472,3 +472,130 @@ def dbl(jac, interpret: bool = False, curve=None):
 def _g1():
     from .curve import G1
     return G1
+
+
+# ----------------------------------------------- fused MSM row-scan kernel
+#
+# The MSM inner loop is `rows` sequential mixed-adds per lane (ops/msm.py
+# step 4). As a lax.scan of fused madd kernels it still pays one dispatch
+# + an HBM round-trip of the accumulator per row. Here the WHOLE scan is
+# one pallas_call: grid (width_blocks, rows) iterated rows-innermost, the
+# running accumulator lives in VMEM scratch across grid steps (TPU grids
+# run sequentially on the core), reset at row 0 of each width block. The
+# per-row prefixes stream out as the outputs (ys for the prefix lookup).
+
+def _msm_scan_kernel(F2, nl, n0, px, py, pinf, p_ref, one_ref,
+                     ox, oy, oz, ax_s, ay_s, az_s):
+    r = pl.program_id(1)
+    ctx = _Ctx(nl, n0, p_ref[...], one_ref[...])
+    F = _Fq2A if F2 else _FqA
+
+    @pl.when(r == 0)
+    def _init():
+        one = ctx.one()
+        zero = jnp.zeros_like(one)
+        if F2:
+            ax_s[...] = jnp.concatenate([one, zero], 0)
+            ay_s[...] = jnp.concatenate([one, zero], 0)
+            az_s[...] = jnp.concatenate([zero, zero], 0)
+        else:
+            ax_s[...] = one
+            ay_s[...] = one
+            az_s[...] = zero
+
+    X = _unpack(F2, nl, ax_s[...])
+    Y = _unpack(F2, nl, ay_s[...])
+    Z = _unpack(F2, nl, az_s[...])
+    x2 = _unpack(F2, nl, px[...][0])
+    y2 = _unpack(F2, nl, py[...][0])
+    ainf = pinf[...][0][0] != 0
+    X, Y, Z = _madd_body(F, ctx, X, Y, Z, x2, y2, ainf)
+    ax_s[...] = _pack(F2, X)
+    ay_s[...] = _pack(F2, Y)
+    az_s[...] = _pack(F2, Z)
+    ox[...] = _pack(F2, X)[None]
+    oy[...] = _pack(F2, Y)[None]
+    oz[...] = _pack(F2, Z)[None]
+
+
+def msm_row_scan(curve, pts_sorted, interpret: bool = False):
+    """Running madd prefix down the rows of the sorted MSM layout.
+
+    pts_sorted: affine batch with coords (*struct, rows, width) and inf
+    (rows, width). Returns (lane_tot jac (*struct, width),
+    ys jac (rows, *struct, width)) exactly like the lax.scan it replaces.
+    """
+    from .fp import FQ
+    F2, nl, n0 = _curve_args(curve)
+    cr = _coord_rows(curve)
+    x, y, inf = pts_sorted
+    rows_n, width = inf.shape
+
+    wpad = -(-width // PF._VREG) * PF._VREG
+
+    def to4(coord):
+        # (*struct, rows, wpad) -> (rows, cr, wpad/128, 128)
+        if F2:
+            c = coord.reshape(nl, 2, rows_n, wpad)
+            c = jnp.concatenate([c[:, 0], c[:, 1]], 0)       # (2nl, r, w)
+        else:
+            c = coord
+        c = jnp.moveaxis(c, 1, 0)                            # (rows, cr, w)
+        return c.reshape(rows_n, cr, wpad // 128, 128)
+
+    if wpad != width:
+        padw = lambda l: jnp.pad(
+            l, [(0, 0)] * (l.ndim - 1) + [(0, wpad - width)])
+        x, y = padw(x), padw(y)
+        inf = jnp.pad(inf, ((0, 0), (0, wpad - width)),
+                      constant_values=True)
+    x4 = to4(x)
+    y4 = to4(y)
+    inf4 = inf.astype(_U32).reshape(rows_n, 1, wpad // 128, 128)
+    wb = wpad // PF._VREG
+
+    specs_in = [
+        pl.BlockSpec((1, cr, PF._SUB, PF._LANE),
+                     lambda w, r: (r, 0, w, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cr, PF._SUB, PF._LANE),
+                     lambda w, r: (r, 0, w, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, PF._SUB, PF._LANE),
+                     lambda w, r: (r, 0, w, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nl, PF._SUB, PF._LANE), lambda w, r: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nl, PF._SUB, PF._LANE), lambda w, r: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    from .limbs import int_to_limbs
+    p_blk = jnp.broadcast_to(
+        jnp.asarray(FQ.p_limbs, dtype=_U32).reshape(nl, 1, 1),
+        (nl, PF._SUB, PF._LANE))
+    one_blk = jnp.broadcast_to(
+        jnp.asarray(int_to_limbs(FQ.r_mod_p, nl), dtype=_U32).reshape(
+            nl, 1, 1), (nl, PF._SUB, PF._LANE))
+    out_spec = pl.BlockSpec((1, cr, PF._SUB, PF._LANE),
+                            lambda w, r: (r, 0, w, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_msm_scan_kernel, F2, nl, n0),
+        grid=(wb, rows_n),
+        in_specs=specs_in,
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((rows_n, cr, wpad // 128, PF._LANE),
+                                        _U32)] * 3,
+        scratch_shapes=[pltpu.VMEM((cr, PF._SUB, PF._LANE), _U32)] * 3,
+        interpret=interpret,
+    )(x4, y4, inf4, p_blk, one_blk)
+
+    def from4(o):
+        c = o.reshape(rows_n, cr, wpad)[:, :, :width]        # (rows, cr, w)
+        if F2:
+            c = jnp.stack([c[:, :nl], c[:, nl:]], 2)         # (r, nl, 2, w)
+            return jnp.moveaxis(c, 0, 0).transpose(1, 2, 0, 3)
+        return jnp.moveaxis(c, 1, 0)                         # (nl, rows, w)
+
+    ys = tuple(jnp.moveaxis(from4(o), curve.ns, 0) for o in outs)
+    lane_tot = tuple(
+        jax.lax.index_in_dim(yl, rows_n - 1, axis=0, keepdims=False)
+        for yl in ys)
+    return lane_tot, ys

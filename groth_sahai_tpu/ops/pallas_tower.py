@@ -141,28 +141,87 @@ def _join12(c, nl):
     return jnp.concatenate(rows, 0)
 
 
-def _mont_one_rows(nl, tail_shape):
-    """R mod p limb rows as in-kernel scalar constants."""
-    from .fp import FQ
-    from .limbs import int_to_limbs
-    limbs = int_to_limbs(FQ.r_mod_p, nl)
-    rows = [jnp.full((1,) + tuple(tail_shape), _U32(int(v)))
-            for v in limbs]
-    return jnp.concatenate(rows, 0)
-
-
-def _fq12_mul_kernel(nl, n0, a_ref, b_ref, p_ref, o_ref):
+def _fq12_mul_kernel(nl, n0, a_ref, b_ref, p_ref, one_ref, o_ref):
     p = p_ref[...]
     a = _split12(a_ref[...], nl)
     b = _split12(b_ref[...], nl)
     c = _f12_mul(nl, n0, p, a, b)
-    one = _mont_one_rows(nl, p.shape[1:])
+    one = one_ref[...]
     red = lambda x: R.mont_mul(nl, n0, p, x, one)   # post-reduce to < 2p
     c = tuple(tuple((red(f2[0]), red(f2[1])) for f2 in f6) for f6 in c)
     o_ref[...] = _join12(c, nl)
 
 
-# ------------------------------------------------------------------- wrappers
+def _cyc_sqr_kernel(nl, n0, a_ref, p_ref, one_ref, o_ref):
+    """Granger-Scott cyclotomic squaring, one kernel (tower.py
+    cyclotomic_sqr transcribed; valid after the easy part).
+
+    Bound audit (inputs < 2p, the kernel's own output bound):
+      Fq2 complex sqr -> (t0 < 2p, t1 < 4p); ta < (8p, 10p); tb < (6p, 12p)
+      comb_a <= 3t+4p <= 34p ; comb_b <= 40p ; z3 (xi-mixed) <= 58p
+      all POST-REDUCED to < 2p with one Montgomery-one multiply each.
+    """
+    p = p_ref[...]
+    mm = lambda x, y: R.mont_mul(nl, n0, p, x, y)
+    kp = lambda k: R.kp_limbs(p, k)
+    x = a_ref[...]
+
+    def coeff(m):
+        return x[m * nl:(m + 1) * nl]
+
+    # Fq2 coefficient m = 3i + j <-> flat coeffs (6i + 2j, 6i + 2j + 1)
+    def fq2(i, j):
+        base = 6 * i + 2 * j
+        return (coeff(base), coeff(base + 1))
+
+    c = [fq2(0, 0), fq2(0, 1), fq2(0, 2), fq2(1, 0), fq2(1, 1), fq2(1, 2)]
+    x0 = [c[0], c[3], c[1]]
+    x1 = [c[4], c[2], c[5]]
+
+    def f2sqr(a):
+        s = R.add(a[0], a[1])
+        d = R.sub(a[0], a[1], kp(4))
+        return (mm(s, d), R.double(mm(a[0], a[1])))          # (<2p, <4p)
+
+    def f2add(a, b):
+        return (R.add(a[0], b[0]), R.add(a[1], b[1]))
+
+    s0 = [f2sqr(v) for v in x0]
+    s1 = [f2sqr(v) for v in x1]
+    sx = [f2sqr(f2add(a, b)) for a, b in zip(x0, x1)]
+    ta = [(R.add(t[0], R.sub(u[0], u[1], kp(4))),            # s0 + xi(s1)
+           R.add(t[1], R.add(u[0], u[1])))
+          for t, u in zip(s0, s1)]
+    tb = [(R.sub(R.sub(v[0], t[0], kp(2)), u[0], kp(2)),
+           R.sub(R.sub(v[1], t[1], kp(4)), u[1], kp(4)))
+          for v, t, u in zip(sx, s0, s1)]
+
+    def comb_a(t, cc):   # 3t - 2c = 2(t - c) + t
+        return tuple(R.add(R.double(R.sub(ti, ci, kp(2))), ti)
+                     for ti, ci in zip(t, cc))
+
+    def comb_b(t, cc):   # 3t + 2c = 2(t + c) + t
+        return tuple(R.add(R.double(R.add(ti, ci)), ti)
+                     for ti, ci in zip(t, cc))
+
+    # A = fp4sq(c0, c4) -> (ta[0], tb[0]); B = fp4sq(c3, c2) -> (ta[1],
+    # tb[1]); C = fp4sq(c1, c5) -> (ta[2], tb[2])  (tower.py:459-474)
+    xiC1 = (R.sub(tb[2][0], tb[2][1], kp(12)), R.add(tb[2][0], tb[2][1]))
+    z = [comb_a(ta[0], c[0]),        # z0 = 3A0 - 2c0
+         comb_a(ta[1], c[1]),        # z1 = 3B0 - 2c1
+         comb_a(ta[2], c[2]),        # z2 = 3C0 - 2c2
+         comb_b(xiC1, c[3]),         # z3 = 3 xi C1 + 2c3
+         comb_b(tb[0], c[4]),        # z4 = 3A1 + 2c4
+         comb_b(tb[1], c[5])]        # z5 = 3B1 + 2c5
+    one = one_ref[...]
+    red = lambda v: mm(v, one)
+    rows = []
+    for i in range(2):
+        for j in range(3):
+            zm = z[3 * i + j]
+            rows.append(red(zm[0]))
+            rows.append(red(zm[1]))
+    o_ref[...] = jnp.concatenate(rows, 0)
 
 def _call12(kernel, arrays, interpret):
     from .fp import FQ
@@ -178,12 +237,14 @@ def _call12(kernel, arrays, interpret):
     args = [x.reshape(rows, s_total, PF._LANE) for x in args]
     in_specs = [pl.BlockSpec((rows, s_tile, PF._LANE), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM) for _ in args]
-    args.append(jnp.broadcast_to(
-        jnp.asarray(FQ.p_limbs, dtype=_U32).reshape(nl, 1, 1),
-        (nl, s_tile, PF._LANE)))
-    in_specs.append(pl.BlockSpec((nl, s_tile, PF._LANE),
-                                 lambda i: (0, 0, 0),
-                                 memory_space=pltpu.VMEM))
+    from .limbs import int_to_limbs
+    for const in (FQ.p_limbs, int_to_limbs(FQ.r_mod_p, nl)):
+        args.append(jnp.broadcast_to(
+            jnp.asarray(const, dtype=_U32).reshape(nl, 1, 1),
+            (nl, s_tile, PF._LANE)))
+        in_specs.append(pl.BlockSpec((nl, s_tile, PF._LANE),
+                                     lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kernel,
         grid=(s_total // s_tile,),
@@ -228,6 +289,16 @@ def fq12_sqr(a, interpret: bool = False):
     kernel needs an in-kernel pre-reduction to keep its v-mixed operand
     sums in bounds; the saving is ~25%, deferred)."""
     return fq12_mul(a, a, interpret=interpret)
+
+
+def cyc_sqr(a, interpret: bool = False):
+    """Fused Granger-Scott cyclotomic square; inputs < 2p (the kernel's
+    own output bound -- final-exp chains stay closed)."""
+    ar, batch, m = _flat12(a)
+    from .fp import FQ
+    out = _call12(functools.partial(_cyc_sqr_kernel, FQ.n, FQ.n0),
+                  [ar], interpret)
+    return _unflat12(out, batch)
 
 
 def usable(*arrays) -> bool:

@@ -450,6 +450,11 @@ class _Fq12:
 
         Verified against generic sqr in tests.
         """
+        from . import pallas_tower as PT
+        import numpy as _np
+        if (PT.usable(a)
+                and int(_np.prod(a.shape[2:], dtype=_np.int64)) <= 4096):
+            return PT.cyc_sqr(a)
         F2 = FQ2
         batch = a.shape[2:]
         ap = jnp.moveaxis(a.reshape((FQ.n, 6, 2) + batch), 2, 1)

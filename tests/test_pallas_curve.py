@@ -183,6 +183,37 @@ def test_fused_g2_ops():
             assert got == (e[0], e[1])
 
 
+def test_msm_row_scan_kernel():
+    """Grid-carried-scratch row scan == the lax.scan it replaces (G1,
+    rows=4, width=128 incl. lane padding + infinity entries)."""
+    import jax.numpy as jnp
+    rows_n, width = 4, 128
+    ks = [(r * width + l) % 97 + 1 for r in range(rows_n)
+          for l in range(width)]
+    opts = [O.g1_mul(O.G1_GEN, k) for k in ks]
+    flat = g1_affine_from_ints(
+        [(p[0].v, p[1].v) for p in opts[:-3]] + [None] * 3)  # some inf
+    pts_s = tuple(
+        l.reshape(l.shape[:-1] + (rows_n, width)) for l in flat[:2]) + (
+        flat[2].reshape(rows_n, width),)
+
+    from groth_sahai_tpu.ops import pallas_curve as pc
+    lane_tot, ys = pc.msm_row_scan(G1, pts_s, interpret=True)
+
+    def row_step(acc, inp):
+        acc = G1.add_mixed(acc, inp)
+        return acc, acc
+
+    xs = (jnp.moveaxis(pts_s[0], 1, 0), jnp.moveaxis(pts_s[1], 1, 0),
+          pts_s[2])
+    ref_tot, ref_ys = jax.jit(lambda xs: jax.lax.scan(
+        row_step, G1.inf_jac((width,)), xs))(xs)
+    for a, b in zip(lane_tot, ref_tot):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(ys, ref_ys):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_madd_chain(pts):
     """Scan-style chained madd (the MSM inner loop shape): 8-step running
     prefix equals the oracle prefix."""

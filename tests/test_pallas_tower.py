@@ -41,6 +41,15 @@ def test_fused_fq12_mul_matches_tower(gt_vals):
     assert np.array_equal(_norm(got), _norm(want))
 
 
+def test_fused_cyc_sqr(gt_vals):
+    """Fused Granger-Scott cyclotomic square == generic square on a
+    pairing output (which lies in the cyclotomic subgroup)."""
+    e, e2, _ = gt_vals
+    a = dev_gt(e)
+    got = PT.cyc_sqr(a, interpret=True)
+    assert np.array_equal(_norm(got), _norm(dev_gt(e2)))
+
+
 def test_fused_chain_stays_bounded(gt_vals):
     """Chained fused muls (the Miller-loop shape; also covers fq12_sqr,
     which delegates to mul) stay on the oracle orbit: e -> e^2 -> e^4.
