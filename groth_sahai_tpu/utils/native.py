@@ -18,13 +18,37 @@ import numpy as np
 _LIB = None
 
 
+def _build(csrc_dir: str) -> bool:
+    """Compile libgslimbs.so in-tree (one g++ invocation, no deps).
+
+    Runs at most once per process when the library is absent; disable with
+    GS_NATIVE_BUILD=0. Returns True when the .so exists afterwards.
+    """
+    if os.environ.get("GS_NATIVE_BUILD", "1") == "0":
+        return False
+    import subprocess
+    src = os.path.join(csrc_dir, "limbs.cpp")
+    out = os.path.join(csrc_dir, "libgslimbs.so")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", out, src],
+            check=True, capture_output=True, timeout=120)
+    except Exception:
+        return False
+    return os.path.exists(out)
+
+
 def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
-    path = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
-                        "libgslimbs.so")
-    path = os.path.abspath(path)
+    csrc = os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                        "..", "csrc"))
+    path = os.path.join(csrc, "libgslimbs.so")
+    if not os.path.exists(path):
+        _build(csrc)
     try:
         lib = ctypes.CDLL(path)
         lib.bytes_to_limbs.argtypes = [
