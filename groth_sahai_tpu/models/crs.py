@@ -8,6 +8,14 @@ TPU-native analogue of /root/reference/src/generator.rs:36-119:
 Also precomputes the iota' base elements u2 + (O, g1) and v2 + (O, g2)
 (data_structures.rs:323-326, :367-371) used by scalar commitments and the
 MSME/quadratic target maps.
+
+Generation runs on the HOST with plain integers (utils/hostcrypto.py): a
+trusted setup is twelve scalar-muls and one pairing -- one-time scalar
+work that XLA would spend minutes *compiling* (the round-3 `_crs_build`
+graph took >5min of CPU compile for ~1ms of math).  The device arrays are
+uploaded once, in exactly the layouts the batched kernels consume; the
+pairing identity gt = e(r1 g1, r2 g2) = e(g1, g2)^(r1 r2) turns the
+per-CRS pairing into one cached generator pairing plus a GT exponent.
 """
 
 from __future__ import annotations
@@ -16,20 +24,19 @@ from dataclasses import dataclass
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 
-from ..ops.fp import FR
-from ..ops.curve import G1, G2, g1_affine_from_ints, g2_affine_from_ints
+from ..ops.fp import FQ
+from ..ops.curve import g1_affine_from_ints, g2_affine_from_ints
+from ..ops.tower import FQ12
 from ..ops import bls12_381 as C
-from ..ops import pairing as pr
+from ..utils import hostcrypto as HC
 from ..utils.rng import GsRng
-from . import commit_group as cg
 
 
 @jax.tree_util.register_dataclass
 @dataclass
 class CRS:
-    u: Any          # Com1 vector (2, 2): [[p1, q1], [u1, v1]] along pair axis
+    u: Any          # Com1 vector (2, 2): [[p1, u1], [q1, v1]]; u[:,j] = u_{j+1}
     v: Any          # Com2 vector (2, 2)
     g1_gen: Any     # G1 affine ()
     g2_gen: Any     # G2 affine ()
@@ -38,44 +45,11 @@ class CRS:
     v_base: Any     # v2 + (O, g2): iota2' base, Com2 element (2,)
 
 
-def _hidden_key_parts(gen_j, q_j, t_std, curve, hiding: bool, gen_aff):
-    """v_i = t_i * q_i (- g_i if hiding)  (generator.rs:48-77)."""
-    qt = curve.scalar_mul(curve.to_affine(q_j), t_std)
-    if hiding:
-        qt = curve.add_mixed(qt, curve.neg_affine(gen_aff))
-    return qt
-
-
-from functools import partial as _partial
-
-
-@_partial(jax.jit, static_argnums=0)
-def _crs_build(hiding, r1, r2, a1, a2, t1, t2):
-    g1 = g1_affine_from_ints([(C.G1_GEN_X, C.G1_GEN_Y)])
-    g2 = g2_affine_from_ints([(C.G2_GEN_X, C.G2_GEN_Y)])
-    g1 = cg.aff_index(G1, g1, 0, 0)
-    g2 = cg.aff_index(G2, g2, 0, 0)
-    p1j = G1.scalar_mul(g1, r1)
-    p2j = G2.scalar_mul(g2, r2)
-    p1 = G1.to_affine(p1j)
-    p2 = G2.to_affine(p2j)
-    q1j = G1.scalar_mul(p1, a1)
-    q2j = G2.scalar_mul(p2, a2)
-    u1j = G1.scalar_mul(p1, t1)
-    u2j = G2.scalar_mul(p2, t2)
-    v1j = _hidden_key_parts(None, q1j, t1, G1, hiding, p1)
-    v2j = _hidden_key_parts(None, q2j, t2, G2, hiding, p2)
-    q1, u1, v1 = G1.to_affine(q1j), G1.to_affine(u1j), G1.to_affine(v1j)
-    q2, u2, v2 = G2.to_affine(q2j), G2.to_affine(u2j), G2.to_affine(v2j)
-    # batch layout (pair, elem): pair 0 holds (p, u), pair 1 holds (q, v)
-    u = cg.aff_stack(G1, [cg.aff_stack(G1, [p1, u1], axis=0),
-                          cg.aff_stack(G1, [q1, v1], axis=0)], axis=0)
-    v = cg.aff_stack(G2, [cg.aff_stack(G2, [p2, u2], axis=0),
-                          cg.aff_stack(G2, [q2, v2], axis=0)], axis=0)
-    gt = pr.pairing(p1, p2)
-    u_base = cg.iota_prime_base(G1, u, p1)
-    v_base = cg.iota_prime_base(G2, v, p2)
-    return u, v, p1, p2, gt, u_base, v_base
+def _reshape22(aff, ns):
+    x, y, inf = aff
+    return (x.reshape(x.shape[:ns] + (2, 2)),
+            y.reshape(y.shape[:ns] + (2, 2)),
+            inf.reshape(2, 2))
 
 
 def generate_crs(rng: GsRng, hiding: bool = False) -> CRS:
@@ -83,13 +57,40 @@ def generate_crs(rng: GsRng, hiding: bool = False) -> CRS:
 
     Draw order matches the reference: p1, p2, a1, a2, t1, t2.
     """
-    r1 = rng.fr_std(())
-    r2 = rng.fr_std(())
-    a1 = rng.fr_std(())
-    a2 = rng.fr_std(())
-    t1 = rng.fr_std(())
-    t2 = rng.fr_std(())
-    u, v, p1, p2, gt, u_base, v_base = _crs_build(
-        hiding, r1, r2, a1, a2, t1, t2)
-    return CRS(u=u, v=v, g1_gen=p1, g2_gen=p2, gt_gen=gt,
+    r1, r2, a1, a2, t1, t2 = rng.fr_ints(6)
+    g1 = (C.G1_GEN_X, C.G1_GEN_Y)
+    g2 = (C.G2_GEN_X, C.G2_GEN_Y)
+    p1 = HC.g1_mul(g1, r1)
+    p2 = HC.g2_mul(g2, r2)
+    q1 = HC.g1_mul(p1, a1)
+    q2 = HC.g2_mul(p2, a2)
+    u1 = HC.g1_mul(p1, t1)
+    u2 = HC.g2_mul(p2, t2)
+    # v_i = t_i * q_i (- g_i if hiding)  (generator.rs:48-77)
+    v1 = HC.g1_mul(q1, t1)
+    v2 = HC.g2_mul(q2, t2)
+    if hiding:
+        v1 = HC.g1_add(v1, HC.g1_neg(p1))
+        v2 = HC.g2_add(v2, HC.g2_neg(p2))
+
+    # device layout (component, elem): [[p, u], [q, v]] so [:, 0] = u_1 etc.
+    u = _reshape22(g1_affine_from_ints([p1, u1, q1, v1]), 1)
+    v = _reshape22(g2_affine_from_ints([p2, u2, q2, v2]), 2)
+    g1_dev = _index0(g1_affine_from_ints([p1]), 1)
+    g2_dev = _index0(g2_affine_from_ints([p2]), 2)
+
+    # gt = e(p1, p2) = e(g1, g2)^(r1 r2)  (bilinearity; host pairing cached)
+    gt_t = HC.f12_pow(HC.pairing_gen(), (r1 * r2) % C.R)
+    gt = FQ12.from_ints([gt_t])[..., 0]
+
+    # iota' bases: u_2 + (O, g1) and v_2 + (O, g2) (data_structures.rs:323-326)
+    u_base = g1_affine_from_ints([u1, HC.g1_add(v1, p1)])
+    v_base = g2_affine_from_ints([u2, HC.g2_add(v2, p2)])
+
+    return CRS(u=u, v=v, g1_gen=g1_dev, g2_gen=g2_dev, gt_gen=gt,
                u_base=u_base, v_base=v_base)
+
+
+def _index0(aff, ns):
+    x, y, inf = aff
+    return (x[..., 0], y[..., 0], inf[0])

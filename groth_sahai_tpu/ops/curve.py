@@ -234,22 +234,25 @@ class Curve:
         ntab = 1 << window
         batch = np.shape(p_affine[2])
         from . import pallas_curve as PC
+        from . import proj as PJ
         fused = PC.usable(self, p_affine, scalar_limbs)
 
-        # table[j] = j * P, Jacobian, table axis = first batch axis.
-        # Built with ONE scanned add_mixed body (not 2^w - 2 inlined adds:
-        # XLA CPU compile time scales with distinct instances).
+        # table[j] = j * P on the COMPLETE projective law (ops/proj.py):
+        # 11-mul branchless mixed adds, no exceptional lanes, immune to the
+        # XLA:TPU scan miscompile the Jacobian path needed a barrier for.
+        # Built with ONE scanned madd body (not 2^w - 2 inlined adds: XLA
+        # CPU compile time scales with distinct instances).
         def tab_step(acc, _):
-            acc = (PC.madd(acc, p_affine, curve=self) if fused
-                   else self.add_mixed(acc, p_affine))
+            acc = (PC.cmadd(acc, p_affine, curve=self) if fused
+                   else PJ.madd(self, acc, p_affine))
             return acc, acc
 
-        p1 = self.from_affine(p_affine)
+        p1 = PJ.from_affine(self, p_affine)
         _, tail = lax.scan(tab_step, p1, None, length=ntab - 2)
         table = jax.tree_util.tree_map(
             lambda z, o, t: jnp.moveaxis(
                 jnp.concatenate([z[None], o[None], t], axis=0), 0, self.ns),
-            self.inf_jac(batch), p1, tail)
+            PJ.inf(self, batch), p1, tail)
 
         def digit_at(k):                       # window k, LSB-first
             lo = k * window
@@ -258,31 +261,27 @@ class Curve:
         digs = jnp.stack([digit_at(nwin - 1 - k) for k in range(nwin)])
 
         def body(acc, dig):
-            if fused:
-                acc = PC.dbl_n(acc, window, curve=self)
-            else:
-                for _ in range(window):
-                    acc = self.double(acc)
-                # XLA:TPU MISCOMPILES this scan body without the barrier: a
-                # body that chains `window` doubles INTO the table-select
-                # add computes wrong limbs on TPU (G2 shapes; bisected in
-                # scripts/probe_g2_scan.py -- each half alone is exact, the
-                # unrolled form is exact, fori_loop reproduces the bug, and
-                # an optimization_barrier between the halves fixes it).
-                # This was the round-2 BENCH checksum failure's root cause.
-                acc = lax.optimization_barrier(acc)
             onehot = (jnp.arange(ntab, dtype=jnp.uint32).reshape(
                 (ntab,) + (1,) * len(batch)) == dig[None]).astype(jnp.uint32)
             sel = jax.tree_util.tree_map(
                 lambda l: (l * onehot.reshape(
                     (1,) * self.ns + onehot.shape)).sum(
                         axis=self.ns, dtype=jnp.uint32), table)
-            acc = (PC.add(acc, sel, curve=self) if fused
-                   else self.add(acc, sel))
+            if fused:
+                acc = PC.cdbl_n_add(acc, window, sel, curve=self)
+            else:
+                acc = PJ.dbl_n(self, acc, window)
+                # Defensive barrier: XLA:TPU miscompiled the Jacobian
+                # double-chain -> select-add scan body (round-2 checksum
+                # failure, bisected in scripts/probe_g2_scan.py); the fused
+                # kernel path avoids XLA loop optimization entirely, this
+                # barrier keeps the pure-JAX fallback safe on TPU too.
+                acc = lax.optimization_barrier(acc)
+                acc = PJ.add(self, acc, sel)
             return acc, None
 
-        out, _ = lax.scan(body, self.inf_jac(batch), digs)
-        return out
+        out, _ = lax.scan(body, PJ.inf(self, batch), digs)
+        return PJ.to_jacobian(self, out)
 
     def msm_naive(self, points_affine, scalars):
         """sum_k [s_k] P_k over axis `axis` (the first batch axis).

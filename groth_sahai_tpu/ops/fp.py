@@ -449,17 +449,26 @@ class PrimeField:
         return self.normalize(self._mont_mul(a, jnp.broadcast_to(one, a.shape)))
 
     def from_ints(self, values) -> jnp.ndarray:
-        """Python ints -> Montgomery-form device array (n, len(values))."""
-        arr = ints_to_limbs([v % self.p for v in values], self.n)
-        return self.to_mont(jnp.asarray(arr))
+        """Python ints -> Montgomery-form device array (n, len(values)).
+
+        The Montgomery conversion (v * R mod p) runs on the HOST in exact
+        integer math: constructing constants/inputs must cost zero device
+        compiles and zero eager dispatches (it is on the test/setup path
+        thousands of times).
+        """
+        arr = ints_to_limbs([(v % self.p) * self.r_mod_p % self.p
+                             for v in values], self.n)
+        return jnp.asarray(arr)
 
     def from_int(self, value: int) -> jnp.ndarray:
-        arr = int_to_limbs(value % self.p, self.n)
-        return self.to_mont(jnp.asarray(arr))
+        arr = int_to_limbs((value % self.p) * self.r_mod_p % self.p, self.n)
+        return jnp.asarray(arr)
 
     def to_ints(self, a) -> list:
         """Montgomery-form device array (n, *batch) -> flat list of ints."""
-        std = np.asarray(jax.jit(self.from_mont)(a))
+        if not hasattr(self, "_from_mont_jit"):
+            self._from_mont_jit = jax.jit(self.from_mont)
+        std = np.asarray(self._from_mont_jit(a))
         if std.ndim == 1:
             return [limbs_to_int(std)]
         flat = std.reshape(self.n, -1)

@@ -145,24 +145,30 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
     pts = (pts[0], pts[1], pts[2] | is_zero_digit)
 
     # ---- 4: per-lane running prefix (the only sequential loop) -------------
+    # The accumulation pipeline runs on the COMPLETE projective group law
+    # (ops/proj.py, RCB16): 11-mul branchless mixed adds with no exceptional
+    # lanes -- ~1.6x fewer field muls than the Jacobian madd+select bodies
+    # and immune to the XLA:TPU scan miscompile the Jacobian path had to
+    # barrier around.
     ns = curve.ns
     from . import pallas_curve as PC
+    from . import proj as PJ
     fused = PC.usable(curve, points_aff, scalars_std)
 
     if fused:
         # the WHOLE row scan as one pallas_call: grid-carried scratch
         # accumulator, zero per-row dispatch/HBM-roundtrip overhead
-        lane_tot, ys = PC.msm_row_scan(curve, pts)
+        lane_tot, ys = PC.cmsm_row_scan(curve, pts)
     else:
         def row_step(acc, inp):
             px, py, pinf = inp
-            acc = curve.add_mixed(acc, (px, py, pinf))
+            acc = PJ.madd(curve, acc, (px, py, pinf))
             return acc, acc
 
         xs = (jnp.moveaxis(pts[0], ns, 0), jnp.moveaxis(pts[1], ns, 0),
               pts[2])
-        lane_tot, ys = lax.scan(row_step, curve.inf_jac((width,)), xs)
-    # ys leaves: (rows, *struct, width) jacobian prefixes per lane
+        lane_tot, ys = lax.scan(row_step, PJ.inf(curve, (width,)), xs)
+    # ys leaves: (rows, *struct, width) projective prefixes per lane
 
     # ---- 5: exclusive lane prefix -> global prefix lookup -------------------
     # Hillis-Steele log-depth prefix: log2(width) full-width adds. (An
@@ -170,17 +176,17 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
     # this inlines ~log2(width) plain adds instead.)
     lane_incl = lane_tot
     shift = 1
-    inf_pad = curve.inf_jac((width,))
+    inf_pad = PJ.inf(curve, (width,))
     while shift < width:
         shifted = tuple(
             jnp.concatenate(
                 [lax.slice_in_dim(ip, 0, shift, axis=ns),
                  lax.slice_in_dim(li, 0, width - shift, axis=ns)], axis=ns)
             for ip, li in zip(inf_pad, lane_incl))
-        lane_incl = (PC.add(lane_incl, shifted, curve=curve) if fused
-                     else curve.add(lane_incl, shifted))
+        lane_incl = (PC.cadd(lane_incl, shifted, curve=curve) if fused
+                     else PJ.add(curve, lane_incl, shifted))
         shift *= 2
-    inf1 = curve.inf_jac((1,))
+    inf1 = PJ.inf(curve, (1,))
     lane_excl = tuple(
         jnp.concatenate([i0, lax.slice_in_dim(li, 0, width - 1, axis=ns)],
                         axis=ns)
@@ -195,8 +201,8 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
             y.shape[1:ns + 1] + (rows * width,)) for y in ys)
         p_local = _take_jac(curve, ysf, flat)
         p_lane = _take_jac(curve, lane_excl, lane)
-        g = curve.add(p_lane, p_local)
-        return _jac_where(valid, g, curve.inf_jac(pos.shape))
+        g = PJ.add(curve, p_lane, p_local)
+        return _jac_where(valid, g, PJ.inf(curve, pos.shape))
 
     # ---- 6: weighted bucket sums via prefix differences ---------------------
     # U(t) = sum of sorted points with key < t = G[searchsorted(t) - 1];
@@ -210,36 +216,32 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
     tgts = jnp.concatenate([t_ends, t_starts.reshape(-1)])
     pos = jnp.searchsorted(keys_s, tgts).astype(jnp.int32)
     u_all = g_at(jnp.maximum(pos - 1, 0), pos > 0)
-    u_end = tuple(l[..., :n_windows] for l in u_all)            # jac (W,)
+    u_end = tuple(l[..., :n_windows] for l in u_all)            # proj (W,)
     u_starts = tuple(
         l[..., n_windows:].reshape(l.shape[:-1] + (n_windows, nbuck - 1))
-        for l in u_all)                                         # jac (W, nb-1)
-    # T_{w,d} = u_end - u_starts: one batched add. add() outputs normally
-    # have Y < 6p, but its is_dbl select can pass a double() result through
-    # (Y < 18p), so negate with k=32.
+        for l in u_all)                                         # proj (W, nb-1)
+    # T_{w,d} = u_end - u_starts: one batched complete add with negated Y
+    # (projective coords stay < 4p, so neg with k=4).
     bigL = tuple(jnp.broadcast_to(l[..., :, None],
                                   l.shape + (nbuck - 1,)) for l in u_end)
-    negR = curve.neg(u_starts, k=32)
-    diffs = (PC.add(bigL, negR, curve=curve) if fused
-             else curve.add(bigL, negR))
-    wsums = curve.sum_reduce(diffs, axis=1)                     # jac (W,)
+    negR = (u_starts[0], curve.F.neg(u_starts[1], k=4), u_starts[2])
+    diffs = (PC.cadd(bigL, negR, curve=curve) if fused
+             else PJ.add(curve, bigL, negR))
+    wsums = PJ.sum_reduce(curve, diffs, axis=1)                 # proj (W,)
 
     # ---- 7: combine windows: acc = sum_k 2^(w k) wsums[k], high to low -----
     def win_step(acc, k_rev):
-        if fused:
-            acc = PC.dbl_n(acc, window, curve=curve)
-        else:
-            for _ in range(window):
-                acc = curve.double(acc)
         wk = jax.tree_util.tree_map(
             lambda l: jnp.take(l, k_rev, axis=curve.ns), wsums)
-        acc = (PC.add(acc, wk, curve=curve) if fused
-               else curve.add(acc, wk))
+        if fused:
+            acc = PC.cdbl_n_add(acc, window, wk, curve=curve)
+        else:
+            acc = PJ.add(curve, PJ.dbl_n(curve, acc, window), wk)
         return acc, None
 
-    acc, _ = lax.scan(win_step, curve.inf_jac(()),
+    acc, _ = lax.scan(win_step, PJ.inf(curve, ()),
                       jnp.arange(n_windows - 1, -1, -1))
-    return acc
+    return PJ.to_jacobian(curve, acc)
 
 
 def msm_curve(curve: Curve, points_aff, scalars_std, window: int = 8,

@@ -1,30 +1,37 @@
-"""Fused Pallas kernels for whole Jacobian group ops (G1 over Fq, G2 over
-Fq2).
+"""Fused Pallas kernels for whole projective group ops (G1 over Fq, G2
+over Fq2) on the COMPLETE addition law (RCB16, ops/proj.py).
 
 One `pallas_call` per group operation instead of ~15 field-op kernels plus
-XLA glue. Two reasons this path exists:
+XLA glue.  Three reasons this path exists:
 
-  * PERFORMANCE: the measured MSM/commit/scalar-mul paths are
-    dispatch-bound (~2% VPU utilization, BENCH r2/r3); the inner loops are
-    sequential scans of exactly these ops.
-  * CORRECTNESS: XLA:TPU MISCOMPILES lax.scan bodies that chain the
-    doubling ladder into the table-select add (bisected in
-    scripts/probe_g2_scan.py; an optimization_barrier fixes batch-8 G2 but
-    batch-512 G2 still computes wrong limbs -- scripts/probe_512.py). The
-    fused kernels sidestep XLA loop optimization entirely and are verified
-    bit-exact on-chip at every shape probed.
+  * PERFORMANCE: in-kernel field math on the ROW-LIST representation
+    (pallas_reg.py) measures ~820 M Fq mont_muls/s on a v5e -- 63x the
+    round-3 tensor-style kernels; a fused complete mixed add measures
+    ~62 M madds/s (11 muls each), 15x the round-3 Jacobian path.
+  * SIMPLICITY: the complete law has NO exceptional lanes -- no
+    doubling-branch double-evaluation, one select (affine infinity) per
+    mixed add.
+  * CORRECTNESS: XLA:TPU miscompiled the Jacobian double-chain ->
+    select-add scan bodies (round-2 checksum failure; bisected in
+    scripts/probe_g2_scan.py).  Pallas kernels sidestep XLA loop
+    optimization; the complete law also removes the fragile dataflow.
 
-Formulas and value bounds mirror ops/curve.py (dbl-2009-l / madd-2007-bl /
-add-2007-bl with select-based exceptional cases) over a field adapter:
-Fq values are single (nl, S, L) arrays; Fq2 values are pairs. The Fq2
-multiply (Karatsuba + per-component post-reduction to < 2p, see
-pallas_tower) keeps the SAME <2p product bound as Fq, so one audit serves
-both curves.
+Formulas and value bounds mirror ops/proj.py (coords < 4p invariant) with
+the b3 = 3b multiplications done as in-register small products (x12 (+ xi
+twist for Fq2)); the looser (<96p/<144p) named bounds are audited in the
+body docstrings.  Fq values are LISTS of (S, 128) limb rows; Fq2 values
+are pairs of lists (see pallas_reg.py for why).
 
 Layout contract matches pallas_fp: a field element batch is
 ``uint32[nl(, 2), *batch]``; batches flatten to lanes and tile as
-``(rows, S, 128)`` blocks. Infinity flags ride as uint32 0/1 rows.
+``(rows, S, 128)`` blocks.  Infinity flags ride as uint32 0/1 rows.
 Enable with the same ``GS_PALLAS`` gate as the field kernels.
+
+NOTE interpret=True: the straight-line ~30k-op kernel graphs trigger a
+pathological XLA:CPU compile (>10 min); interpret mode is for spot debug
+at tiny shapes only.  CPU suites use ops/proj.py directly; the compiled
+kernels are validated on-chip by the bench conformance gates and
+tests/test_onchip.py.
 """
 
 from __future__ import annotations
@@ -90,7 +97,7 @@ class _Ctx:
 
 
 class _FqA:
-    """Fq adapter: values are (nl, S, L) arrays; mul output < 2p."""
+    """Fq adapter: values are LISTS of (S, L) limb rows; mul output < 2p."""
 
     @staticmethod
     def mul(ctx, a, b):
@@ -122,16 +129,22 @@ class _FqA:
 
     @staticmethod
     def zero(ctx, like):
-        return jnp.zeros_like(like)
+        return [jnp.zeros_like(r) for r in like]
 
     @staticmethod
     def one(ctx, like):
         return ctx.one()
 
+    @staticmethod
+    def mul_b3(ctx, a, k):
+        """a * 3b = a * 12 for G1 (carry pass, no multiplier).  `k` is the
+        static bound of a in units of p (unused for Fq)."""
+        return R.mul_small(a, 12)
+
 
 class _Fq2A:
-    """Fq2 adapter: values are (c0, c1) pairs; mul POST-REDUCED to < 2p
-    per component so the shared curve-formula bound audit applies."""
+    """Fq2 adapter: values are (c0, c1) pairs of row lists; mul
+    POST-REDUCED to < 2p per component (shared bound audit with Fq)."""
 
     @staticmethod
     def mul(ctx, a, b):
@@ -173,108 +186,20 @@ class _Fq2A:
 
     @staticmethod
     def zero(ctx, like):
-        return (jnp.zeros_like(like[0]), jnp.zeros_like(like[1]))
+        z = [jnp.zeros_like(r) for r in like[0]]
+        return (z, z)
 
     @staticmethod
     def one(ctx, like):
-        return (ctx.one(), jnp.zeros_like(like[0]))
+        return (ctx.one(), [jnp.zeros_like(r) for r in like[0]])
 
-
-# ------------------------------------------------------------- generic bodies
-
-def _dbl_body(F, ctx, X1, Y1, Z1):
-    """dbl-2009-l (a=0); bounds as curve.py:73-93 (products < 2p)."""
-    mm = lambda x, y: F.mul(ctx, x, y)
-    A = mm(X1, X1)
-    B = mm(Y1, Y1)
-    YZ = mm(Y1, Z1)
-    Cc = mm(B, B)
-    S = mm(F.add(ctx, X1, B), F.add(ctx, X1, B))
-    D = F.double(ctx, F.sub(ctx, F.sub(ctx, S, A, 2), Cc, 2))   # < 12p
-    E = F.add(ctx, F.double(ctx, A), A)                         # < 6p
-    Ff = mm(E, E)
-    X3 = F.sub(ctx, Ff, F.double(ctx, D), 32)                   # < 34p
-    Y3 = F.sub(ctx, mm(E, F.sub(ctx, D, X3, 64)),
-               F.double(ctx, F.double(ctx, F.double(ctx, Cc))), 16)  # < 18p
-    Z3 = F.double(ctx, YZ)                                      # < 4p
-    return X3, Y3, Z3
-
-
-def _madd_body(F, ctx, X1, Y1, Z1, x2, y2, ainf_m):
-    """madd-2007-bl + exceptional select; mirrors curve.py add_mixed."""
-    mm = lambda x, y: F.mul(ctx, x, y)
-    Z1Z1 = mm(Z1, Z1)
-    U2 = mm(x2, Z1Z1)
-    S2 = mm(y2, mm(Z1, Z1Z1))
-    H = F.sub(ctx, U2, X1, 64)                                  # < 66p
-    r = F.double(ctx, F.sub(ctx, S2, Y1, 32))                   # < 68p
-    HH = mm(H, H)
-    r2 = mm(r, r)
-    ZH = mm(F.add(ctx, Z1, H), F.add(ctx, Z1, H))
-    I = F.double(ctx, F.double(ctx, HH))                        # < 8p
-    J = mm(H, I)
-    V = mm(X1, I)
-    X3 = F.sub(ctx, F.sub(ctx, r2, J, 2), F.double(ctx, V), 4)  # < 10p
-    Y3 = F.sub(ctx, mm(r, F.sub(ctx, V, X3, 16)),
-               F.double(ctx, mm(Y1, J)), 4)
-    Z3 = F.sub(ctx, F.sub(ctx, ZH, Z1Z1, 2), HH, 2)             # < 6p
-
-    p_inf = F.is_zero(ctx, Z1, 8)
-    same_x = F.eq(ctx, U2, X1, 64) & ~p_inf & ~ainf_m
-    same_y = F.eq(ctx, S2, Y1, 32)
-    is_dbl = same_x & same_y
-    dX, dY, dZ = _dbl_body(F, ctx, X1, Y1, Z1)
-    X3 = F.select(is_dbl, dX, X3)
-    Y3 = F.select(is_dbl, dY, Y3)
-    Z3 = F.select(is_dbl, dZ, Z3)
-    # a at infinity -> p unchanged
-    X3 = F.select(ainf_m, X1, X3)
-    Y3 = F.select(ainf_m, Y1, Y3)
-    Z3 = F.select(ainf_m, Z1, Z3)
-    # p at infinity -> from_affine(a)
-    za = F.select(ainf_m, F.zero(ctx, Z1), F.one(ctx, Z1))
-    X3 = F.select(p_inf, x2, X3)
-    Y3 = F.select(p_inf, y2, Y3)
-    Z3 = F.select(p_inf, za, Z3)
-    return X3, Y3, Z3
-
-
-def _add_body(F, ctx, X1, Y1, Z1, X2, Y2, Z2):
-    """add-2007-bl + exceptional select; mirrors curve.py add (:95-129)."""
-    mm = lambda x, y: F.mul(ctx, x, y)
-    Z1Z1 = mm(Z1, Z1)
-    Z2Z2 = mm(Z2, Z2)
-    U1 = mm(X1, Z2Z2)
-    U2 = mm(X2, Z1Z1)
-    S1 = mm(mm(Y1, Z2), Z2Z2)
-    S2 = mm(mm(Y2, Z1), Z1Z1)
-    H = F.sub(ctx, U2, U1, 2)                                   # < 4p
-    r = F.double(ctx, F.sub(ctx, S2, S1, 2))                    # < 8p
-    I = mm(F.double(ctx, H), F.double(ctx, H))
-    r2 = mm(r, r)
-    ZZ = mm(F.add(ctx, Z1, Z2), F.add(ctx, Z1, Z2))
-    J = mm(H, I)
-    V = mm(U1, I)
-    X3 = F.sub(ctx, F.sub(ctx, r2, J, 2), F.double(ctx, V), 4)  # < 10p
-    Y3 = F.sub(ctx, mm(r, F.sub(ctx, V, X3, 16)),
-               F.double(ctx, mm(S1, J)), 4)
-    Z3 = mm(F.sub(ctx, F.sub(ctx, ZZ, Z1Z1, 2), Z2Z2, 2), H)
-    p_inf = F.is_zero(ctx, Z1, 8)
-    q_inf = F.is_zero(ctx, Z2, 8)
-    same_x = F.eq(ctx, U1, U2, 2) & ~p_inf & ~q_inf
-    same_y = F.eq(ctx, S1, S2, 2)
-    is_dbl = same_x & same_y
-    dX, dY, dZ = _dbl_body(F, ctx, X1, Y1, Z1)
-    X3 = F.select(is_dbl, dX, X3)
-    Y3 = F.select(is_dbl, dY, Y3)
-    Z3 = F.select(is_dbl, dZ, Z3)
-    X3 = F.select(q_inf, X1, X3)
-    Y3 = F.select(q_inf, Y1, Y3)
-    Z3 = F.select(q_inf, Z1, Z3)
-    X3 = F.select(p_inf, X2, X3)
-    Y3 = F.select(p_inf, Y2, Y3)
-    Z3 = F.select(p_inf, Z2, Z3)
-    return X3, Y3, Z3
+    @staticmethod
+    def mul_b3(ctx, a, k):
+        """a * 3b = a * 12(u+1): xi-twist then x12.  bound(a) <= k*p per
+        component; output components < 24(bound(a) + k p) -- callers audit."""
+        kp = ctx.kp(k)
+        return (R.mul_small(R.sub(a[0], a[1], kp), 12),
+                R.mul_small(R.add(a[0], a[1]), 12))
 
 
 # --------------------------------------------------------------- kernel glue
@@ -283,52 +208,20 @@ def _add_body(F, ctx, X1, Y1, Z1, X2, Y2, Z2):
 # (2nl, S, L) (c0 rows then c1 rows). `_pack`/`_unpack` convert.
 
 def _pack(F2, v):
+    """Row-list value -> (rows, S, L) tensor for the kernel output."""
     if not F2:
-        return v
-    return jnp.concatenate([v[0], v[1]], 0)
+        return R.stack_rows(v)
+    return R.stack_rows(list(v[0]) + list(v[1]))
 
 
-def _unpack(F2, nl, x):
+def _unpack(F2, nl, ref, base=()):
+    """Ref (or read tensor) -> row-list value.  Indexing the REF per row is
+    the fast path (one vreg load each); `base` prefixes extra indices for
+    blocks with leading singleton axes."""
+    rd = lambda i: ref[base + (i,)] if base else ref[i]
     if not F2:
-        return x
-    return (x[:nl], x[nl:])
-
-
-def _madd_kernel(F2, nl, n0, X1, Y1, Z1, x2, y2, ainf, p_ref, one_ref,
-                 oX, oY, oZ):
-    ctx = _Ctx(nl, n0, p_ref[...], one_ref[...])
-    F = _Fq2A if F2 else _FqA
-    u = lambda r: _unpack(F2, nl, r[...])
-    X3, Y3, Z3 = _madd_body(F, ctx, u(X1), u(Y1), u(Z1), u(x2), u(y2),
-                            ainf[...][0] != 0)
-    oX[...] = _pack(F2, X3)
-    oY[...] = _pack(F2, Y3)
-    oZ[...] = _pack(F2, Z3)
-
-
-def _add_kernel(F2, nl, n0, X1, Y1, Z1, X2, Y2, Z2, p_ref, one_ref,
-                oX, oY, oZ):
-    ctx = _Ctx(nl, n0, p_ref[...], one_ref[...])
-    F = _Fq2A if F2 else _FqA
-    u = lambda r: _unpack(F2, nl, r[...])
-    X3, Y3, Z3 = _add_body(F, ctx, u(X1), u(Y1), u(Z1),
-                           u(X2), u(Y2), u(Z2))
-    oX[...] = _pack(F2, X3)
-    oY[...] = _pack(F2, Y3)
-    oZ[...] = _pack(F2, Z3)
-
-
-def _dbl_n_kernel(F2, nl, n0, n_times, X1, Y1, Z1, p_ref, one_ref,
-                  oX, oY, oZ):
-    ctx = _Ctx(nl, n0, p_ref[...], one_ref[...])
-    F = _Fq2A if F2 else _FqA
-    u = lambda r: _unpack(F2, nl, r[...])
-    X, Y, Z = u(X1), u(Y1), u(Z1)
-    for _ in range(n_times):
-        X, Y, Z = _dbl_body(F, ctx, X, Y, Z)
-    oX[...] = _pack(F2, X)
-    oY[...] = _pack(F2, Y)
-    oZ[...] = _pack(F2, Z)
+        return [rd(i) for i in range(nl)]
+    return ([rd(i) for i in range(nl)], [rd(nl + i) for i in range(nl)])
 
 
 # ------------------------------------------------------------------- wrappers
@@ -411,105 +304,211 @@ def _curve_args(curve):
     return curve.ns == 2, FQ.n, FQ.n0
 
 
-def madd(jac, aff, interpret: bool = False, curve=None):
-    """Jacobian + affine, one fused kernel. Mirrors curve.add_mixed."""
-    curve = curve or _g1()
-    F2, nl, n0 = _curve_args(curve)
-    cr = _coord_rows(curve)
-    arrs, batch = [], None
-    for leaf in (*jac, aff[0], aff[1]):
-        f, batch, m = _flat_coord(curve, leaf)
-        arrs.append(f)
-    if m > MAX_LANES and not interpret:
-        return curve.add_mixed(jac, aff)
-    ainf = aff[2].astype(_U32).reshape(1, -1)
-    arrs.append(ainf)
-    outs = _call_curve(curve, functools.partial(_madd_kernel, F2, nl, n0),
-                       arrs, [cr] * 5 + [1], [cr] * 3, interpret)
-    return tuple(_unflat_coord(curve, o, batch) for o in outs)
-
-
-def add(jac_p, jac_q, interpret: bool = False, curve=None):
-    """Jacobian + Jacobian, one fused kernel. Mirrors curve.add."""
-    curve = curve or _g1()
-    F2, nl, n0 = _curve_args(curve)
-    cr = _coord_rows(curve)
-    arrs, batch = [], None
-    for leaf in (*jac_p, *jac_q):
-        f, batch, m = _flat_coord(curve, leaf)
-        arrs.append(f)
-    if m > MAX_LANES and not interpret:
-        return curve.add(jac_p, jac_q)
-    outs = _call_curve(curve, functools.partial(_add_kernel, F2, nl, n0),
-                       arrs, [cr] * 6, [cr] * 3, interpret)
-    return tuple(_unflat_coord(curve, o, batch) for o in outs)
-
-
-def dbl_n(jac, n_times: int, interpret: bool = False, curve=None):
-    """n_times chained doublings in ONE kernel (scalar-mul window ladder)."""
-    curve = curve or _g1()
-    F2, nl, n0 = _curve_args(curve)
-    cr = _coord_rows(curve)
-    arrs, batch = [], None
-    for leaf in jac:
-        f, batch, m = _flat_coord(curve, leaf)
-        arrs.append(f)
-    if m > MAX_LANES and not interpret:
-        out = jac
-        for _ in range(n_times):
-            out = curve.double(out)
-        return out
-    outs = _call_curve(curve,
-                       functools.partial(_dbl_n_kernel, F2, nl, n0, n_times),
-                       arrs, [cr] * 3, [cr] * 3, interpret)
-    return tuple(_unflat_coord(curve, o, batch) for o in outs)
-
-
-def dbl(jac, interpret: bool = False, curve=None):
-    return dbl_n(jac, 1, interpret=interpret, curve=curve)
-
-
 def _g1():
     from .curve import G1
     return G1
 
 
-# ----------------------------------------------- fused MSM row-scan kernel
-#
-# The MSM inner loop is `rows` sequential mixed-adds per lane (ops/msm.py
-# step 4). As a lax.scan of fused madd kernels it still pays one dispatch
-# + an HBM round-trip of the accumulator per row. Here the WHOLE scan is
-# one pallas_call: grid (width_blocks, rows) iterated rows-innermost, the
-# running accumulator lives in VMEM scratch across grid steps (TPU grids
-# run sequentially on the core), reset at row 0 of each width block. The
-# per-row prefixes stream out as the outputs (ys for the prefix lookup).
 
-def _msm_scan_kernel(F2, nl, n0, px, py, pinf, p_ref, one_ref,
-                     ox, oy, oz, ax_s, ay_s, az_s):
+
+# ===========================================================================
+# Complete projective group law (RCB16 Algorithms 7-9, a = 0) -- fused
+# kernels.  Same formulas + bound audit as ops/proj.py, but with the b3
+# multiplications as in-register small-constant products (x12, plus the
+# xi twist for Fq2) instead of full field muls: 11 muls per mixed add vs
+# the Jacobian bodies' ~18 (madd + always-on double lane + selects).
+# Representation: (X, Y, Z) homogeneous, coords < 4p invariant.
+# ===========================================================================
+
+def _cmadd_body(F, ctx, X1, Y1, Z1, x2, y2, ainf_m):
+    """Complete mixed add; acc coords < 4p, affine < 2p, out < 4p.
+
+    Bound audit (units of p; Fq2 values double once more inside the
+    Karatsuba operand sums): t2 < 96, t1/Z3 < 98, Y3' < 144; worst
+    product pairs (196)(196) and (12)(288) -- inside the 2^16 p^2 cap.
+    """
+    mm = lambda a, b: F.mul(ctx, a, b)
+    t0 = mm(X1, x2)                                  # < 2p
+    t1 = mm(Y1, y2)                                  # < 2p
+    t3 = mm(F.add(ctx, x2, y2), F.add(ctx, X1, Y1))  # < 2p
+    t3 = F.sub(ctx, t3, F.add(ctx, t0, t1), 4)       # < 6p
+    t4 = F.add(ctx, mm(y2, Z1), Y1)                  # < 6p
+    Y3 = F.add(ctx, mm(x2, Z1), X1)                  # < 6p
+    t0 = F.add(ctx, F.double(ctx, t0), t0)           # < 6p
+    t2 = F.mul_b3(ctx, Z1, 4)                        # < 96p
+    Z3 = F.add(ctx, t1, t2)                          # < 98p
+    t1 = F.sub(ctx, t1, t2, 96)                      # < 98p
+    Y3 = F.mul_b3(ctx, Y3, 8)                        # < 144p
+    X3 = F.sub(ctx, mm(t3, t1), mm(t4, Y3), 2)       # < 4p
+    Y3 = F.add(ctx, mm(t1, Z3), mm(Y3, t0))          # < 4p
+    Z3 = F.add(ctx, mm(Z3, t4), mm(t0, t3))          # < 4p
+    X3 = F.select(ainf_m, X1, X3)
+    Y3 = F.select(ainf_m, Y1, Y3)
+    Z3 = F.select(ainf_m, Z1, Z3)
+    return X3, Y3, Z3
+
+
+def _cadd_body(F, ctx, X1, Y1, Z1, X2, Y2, Z2):
+    """Complete projective add; coords < 4p in/out, zero selects."""
+    mm = lambda a, b: F.mul(ctx, a, b)
+    t0 = mm(X1, X2)                                  # < 2p
+    t1 = mm(Y1, Y2)                                  # < 2p
+    t2 = mm(Z1, Z2)                                  # < 2p
+    t3 = mm(F.add(ctx, X1, Y1), F.add(ctx, X2, Y2))  # < 2p
+    t3 = F.sub(ctx, t3, F.add(ctx, t0, t1), 4)       # < 6p
+    t4 = mm(F.add(ctx, Y1, Z1), F.add(ctx, Y2, Z2))  # < 2p
+    t4 = F.sub(ctx, t4, F.add(ctx, t1, t2), 4)       # < 6p
+    Y3 = mm(F.add(ctx, X1, Z1), F.add(ctx, X2, Z2))  # < 2p
+    Y3 = F.sub(ctx, Y3, F.add(ctx, t0, t2), 4)       # < 6p
+    t0 = F.add(ctx, F.double(ctx, t0), t0)           # < 6p
+    t2 = F.mul_b3(ctx, t2, 2)                        # < 48p
+    Z3 = F.add(ctx, t1, t2)                          # < 50p
+    t1 = F.sub(ctx, t1, t2, 48)                      # < 50p
+    Y3 = F.mul_b3(ctx, Y3, 8)                        # < 144p
+    X3 = F.sub(ctx, mm(t3, t1), mm(t4, Y3), 2)       # < 4p
+    Y3 = F.add(ctx, mm(t1, Z3), mm(Y3, t0))          # < 4p
+    Z3 = F.add(ctx, mm(Z3, t4), mm(t0, t3))          # < 4p
+    return X3, Y3, Z3
+
+
+def _cdbl_body(F, ctx, X, Y, Z):
+    """Complete doubling; coords < 4p in, (<4p, <4p, <2p) out."""
+    mm = lambda a, b: F.mul(ctx, a, b)
+    t0 = mm(Y, Y)                                    # < 2p
+    Z3 = F.double(ctx, F.double(ctx, F.double(ctx, t0)))   # < 16p
+    t1 = mm(Y, Z)                                    # < 2p
+    t2 = F.mul_b3(ctx, mm(Z, Z), 2)                  # < 48p
+    X3 = mm(t2, Z3)                                  # < 2p
+    Y3 = F.add(ctx, t0, t2)                          # < 50p
+    Z3 = mm(t1, Z3)                                  # < 2p
+    t2 = F.add(ctx, F.double(ctx, t2), t2)           # < 144p
+    t0 = F.sub(ctx, t0, t2, 144)                     # < 146p
+    Y3 = F.add(ctx, X3, mm(t0, Y3))                  # < 4p
+    X3 = F.double(ctx, mm(t0, mm(X, Y)))             # < 4p
+    return X3, Y3, Z3
+
+
+def _cmadd_kernel(F2, nl, n0, X1, Y1, Z1, x2, y2, ainf, p_ref, one_ref,
+                  oX, oY, oZ):
+    ctx = _Ctx(nl, n0, R.rows_of(p_ref, nl), R.rows_of(one_ref, nl))
+    F = _Fq2A if F2 else _FqA
+    u = lambda r: _unpack(F2, nl, r)
+    X3, Y3, Z3 = _cmadd_body(F, ctx, u(X1), u(Y1), u(Z1), u(x2), u(y2),
+                             ainf[0] != 0)
+    oX[...] = _pack(F2, X3)
+    oY[...] = _pack(F2, Y3)
+    oZ[...] = _pack(F2, Z3)
+
+
+def _cadd_kernel(F2, nl, n0, X1, Y1, Z1, X2, Y2, Z2, p_ref, one_ref,
+                 oX, oY, oZ):
+    ctx = _Ctx(nl, n0, R.rows_of(p_ref, nl), R.rows_of(one_ref, nl))
+    F = _Fq2A if F2 else _FqA
+    u = lambda r: _unpack(F2, nl, r)
+    X3, Y3, Z3 = _cadd_body(F, ctx, u(X1), u(Y1), u(Z1),
+                            u(X2), u(Y2), u(Z2))
+    oX[...] = _pack(F2, X3)
+    oY[...] = _pack(F2, Y3)
+    oZ[...] = _pack(F2, Z3)
+
+
+def _cdbl_n_add_kernel(F2, nl, n0, n_dbl, X1, Y1, Z1, X2, Y2, Z2,
+                       p_ref, one_ref, oX, oY, oZ):
+    """n_dbl complete doublings of P then P + Q, ONE launch (the scalar-mul
+    window ladder step and the MSM window combiner)."""
+    ctx = _Ctx(nl, n0, R.rows_of(p_ref, nl), R.rows_of(one_ref, nl))
+    F = _Fq2A if F2 else _FqA
+    u = lambda r: _unpack(F2, nl, r)
+    X, Y, Z = u(X1), u(Y1), u(Z1)
+    for _ in range(n_dbl):
+        X, Y, Z = _cdbl_body(F, ctx, X, Y, Z)
+    X, Y, Z = _cadd_body(F, ctx, X, Y, Z, u(X2), u(Y2), u(Z2))
+    oX[...] = _pack(F2, X)
+    oY[...] = _pack(F2, Y)
+    oZ[...] = _pack(F2, Z)
+
+
+def cmadd(proj, aff, interpret: bool = False, curve=None):
+    """Complete projective + affine, one fused kernel (ops/proj.py madd)."""
+    curve = curve or _g1()
+    F2, nl, n0 = _curve_args(curve)
+    cr = _coord_rows(curve)
+    arrs, batch = [], None
+    for leaf in (*proj, aff[0], aff[1]):
+        f, batch, m = _flat_coord(curve, leaf)
+        arrs.append(f)
+    if m > MAX_LANES and not interpret:
+        from . import proj as PJ
+        return PJ.madd(curve, proj, aff)
+    ainf = aff[2].astype(_U32).reshape(1, -1)
+    arrs.append(ainf)
+    outs = _call_curve(curve, functools.partial(_cmadd_kernel, F2, nl, n0),
+                       arrs, [cr] * 5 + [1], [cr] * 3, interpret)
+    return tuple(_unflat_coord(curve, o, batch) for o in outs)
+
+
+def cadd(p, q, interpret: bool = False, curve=None):
+    """Complete projective addition, one fused kernel (ops/proj.py add)."""
+    curve = curve or _g1()
+    F2, nl, n0 = _curve_args(curve)
+    cr = _coord_rows(curve)
+    arrs, batch = [], None
+    for leaf in (*p, *q):
+        f, batch, m = _flat_coord(curve, leaf)
+        arrs.append(f)
+    if m > MAX_LANES and not interpret:
+        from . import proj as PJ
+        return PJ.add(curve, p, q)
+    outs = _call_curve(curve, functools.partial(_cadd_kernel, F2, nl, n0),
+                       arrs, [cr] * 6, [cr] * 3, interpret)
+    return tuple(_unflat_coord(curve, o, batch) for o in outs)
+
+
+def cdbl_n_add(p, n_dbl: int, q, interpret: bool = False, curve=None):
+    """n_dbl doublings then one add, fused (ladder/window-combine step)."""
+    curve = curve or _g1()
+    F2, nl, n0 = _curve_args(curve)
+    cr = _coord_rows(curve)
+    arrs, batch = [], None
+    for leaf in (*p, *q):
+        f, batch, m = _flat_coord(curve, leaf)
+        arrs.append(f)
+    if m > MAX_LANES and not interpret:
+        from . import proj as PJ
+        return PJ.add(curve, PJ.dbl_n(curve, p, n_dbl), q)
+    outs = _call_curve(
+        curve, functools.partial(_cdbl_n_add_kernel, F2, nl, n0, n_dbl),
+        arrs, [cr] * 6, [cr] * 3, interpret)
+    return tuple(_unflat_coord(curve, o, batch) for o in outs)
+
+
+def _cmsm_scan_kernel(F2, nl, n0, px, py, pinf, p_ref, one_ref,
+                      ox, oy, oz, ax_s, ay_s, az_s):
+    """Projective running-prefix row scan (complete madd per step)."""
     r = pl.program_id(1)
-    ctx = _Ctx(nl, n0, p_ref[...], one_ref[...])
+    ctx = _Ctx(nl, n0, R.rows_of(p_ref, nl), R.rows_of(one_ref, nl))
     F = _Fq2A if F2 else _FqA
 
     @pl.when(r == 0)
     def _init():
-        one = ctx.one()
+        one = R.stack_rows(ctx.one())
         zero = jnp.zeros_like(one)
         if F2:
-            ax_s[...] = jnp.concatenate([one, zero], 0)
+            ax_s[...] = jnp.concatenate([zero, zero], 0)
             ay_s[...] = jnp.concatenate([one, zero], 0)
             az_s[...] = jnp.concatenate([zero, zero], 0)
         else:
-            ax_s[...] = one
+            ax_s[...] = zero
             ay_s[...] = one
             az_s[...] = zero
 
-    X = _unpack(F2, nl, ax_s[...])
-    Y = _unpack(F2, nl, ay_s[...])
-    Z = _unpack(F2, nl, az_s[...])
-    x2 = _unpack(F2, nl, px[...][0])
-    y2 = _unpack(F2, nl, py[...][0])
-    ainf = pinf[...][0][0] != 0
-    X, Y, Z = _madd_body(F, ctx, X, Y, Z, x2, y2, ainf)
+    X = _unpack(F2, nl, ax_s)
+    Y = _unpack(F2, nl, ay_s)
+    Z = _unpack(F2, nl, az_s)
+    x2 = _unpack(F2, nl, px, base=(0,))
+    y2 = _unpack(F2, nl, py, base=(0,))
+    ainf = pinf[0, 0] != 0
+    X, Y, Z = _cmadd_body(F, ctx, X, Y, Z, x2, y2, ainf)
     ax_s[...] = _pack(F2, X)
     ay_s[...] = _pack(F2, Y)
     az_s[...] = _pack(F2, Z)
@@ -518,13 +517,8 @@ def _msm_scan_kernel(F2, nl, n0, px, py, pinf, p_ref, one_ref,
     oz[...] = _pack(F2, Z)[None]
 
 
-def msm_row_scan(curve, pts_sorted, interpret: bool = False):
-    """Running madd prefix down the rows of the sorted MSM layout.
-
-    pts_sorted: affine batch with coords (*struct, rows, width) and inf
-    (rows, width). Returns (lane_tot jac (*struct, width),
-    ys jac (rows, *struct, width)) exactly like the lax.scan it replaces.
-    """
+def cmsm_row_scan(curve, pts_sorted, interpret: bool = False):
+    """Projective msm_row_scan: returns (lane_tot proj, ys proj prefixes)."""
     from .fp import FQ
     F2, nl, n0 = _curve_args(curve)
     cr = _coord_rows(curve)
@@ -534,13 +528,12 @@ def msm_row_scan(curve, pts_sorted, interpret: bool = False):
     wpad = -(-width // PF._VREG) * PF._VREG
 
     def to4(coord):
-        # (*struct, rows, wpad) -> (rows, cr, wpad/128, 128)
         if F2:
             c = coord.reshape(nl, 2, rows_n, wpad)
-            c = jnp.concatenate([c[:, 0], c[:, 1]], 0)       # (2nl, r, w)
+            c = jnp.concatenate([c[:, 0], c[:, 1]], 0)
         else:
             c = coord
-        c = jnp.moveaxis(c, 1, 0)                            # (rows, cr, w)
+        c = jnp.moveaxis(c, 1, 0)
         return c.reshape(rows_n, cr, wpad // 128, 128)
 
     if wpad != width:
@@ -577,7 +570,7 @@ def msm_row_scan(curve, pts_sorted, interpret: bool = False):
                             lambda w, r: (r, 0, w, 0),
                             memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_msm_scan_kernel, F2, nl, n0),
+        functools.partial(_cmsm_scan_kernel, F2, nl, n0),
         grid=(wb, rows_n),
         in_specs=specs_in,
         out_specs=[out_spec] * 3,
@@ -588,11 +581,11 @@ def msm_row_scan(curve, pts_sorted, interpret: bool = False):
     )(x4, y4, inf4, p_blk, one_blk)
 
     def from4(o):
-        c = o.reshape(rows_n, cr, wpad)[:, :, :width]        # (rows, cr, w)
+        c = o.reshape(rows_n, cr, wpad)[:, :, :width]
         if F2:
-            c = jnp.stack([c[:, :nl], c[:, nl:]], 2)         # (r, nl, 2, w)
+            c = jnp.stack([c[:, :nl], c[:, nl:]], 2)
             return jnp.moveaxis(c, 0, 0).transpose(1, 2, 0, 3)
-        return jnp.moveaxis(c, 1, 0)                         # (nl, rows, w)
+        return jnp.moveaxis(c, 1, 0)
 
     ys = tuple(jnp.moveaxis(from4(o), curve.ns, 0) for o in outs)
     lane_tot = tuple(

@@ -75,116 +75,32 @@ def enabled() -> bool:
 
 # --------------------------------------------------------------- kernel bodies
 #
-# In-kernel values are (rows, S, 128) u32 arrays; `x[i:i+1]` is one limb row
-# (a (1, S, 128) block broadcasting against (nl, S, 128)).
+# Bodies delegate to pallas_reg's row-list math: a field element in-kernel
+# is a LIST of (S, 128) limb rows (see pallas_reg.py for why this is 63x
+# faster than (nl, S, 128) tensors with concat-based window slides).
 
-def _row(x, i):
-    return x[i:i + 1]
-
-
-def _shift_in(acc, tail_row):
-    """Drop the head row, append ``tail_row`` at the bottom (window slide)."""
-    return jnp.concatenate([acc[1:], tail_row], 0)
-
-
-def _carry_rows(acc):
-    """Exact carry propagation down the limb axis (sequential, unrolled)."""
-    carry = jnp.zeros_like(acc[0:1])
-    mask = _U32(MASK)
-    outs = []
-    for k in range(acc.shape[0]):
-        v = acc[k:k + 1] + carry
-        outs.append(v & mask)
-        carry = v >> W
-    return jnp.concatenate(outs, 0)
-
-
-def _accum_product_row(nl, acc, ai, b, mask):
-    """acc (nl+1 rows) += a_i * b split into lo/hi column contributions."""
-    prod = ai * b                                  # (nl, S, L) 16x16 -> 32
-    z1 = jnp.zeros_like(acc[0:1])
-    lo = jnp.concatenate([prod & mask, z1], 0)     # (nl+1, S, L)
-    hi = jnp.concatenate([z1, prod >> W], 0)
-    return acc + lo + hi
+from . import pallas_reg as _R
 
 
 def _mul_wide_kernel(nl, a_ref, b_ref, o_ref):
-    """Exact 2nl+1-limb product via a sliding nl+1-row window.
-
-    Column i is complete once limb-row i of `a` has been consumed, so it is
-    emitted and the window slides -- no (2nl+1)-row adds ever happen.
-    """
-    a = a_ref[...]
-    b = b_ref[...]
-    mask = _U32(MASK)
-    acc = jnp.zeros((nl + 1,) + a.shape[1:], _U32)
-    z1 = acc[0:1]
-    outs = []
-    for i in range(nl):
-        acc = _accum_product_row(nl, acc, _row(a, i), b, mask)
-        outs.append(acc[0:1])                      # column i done (< 2^22)
-        acc = _shift_in(acc, z1)
-    wide = jnp.concatenate(outs + [acc], 0)        # (2nl+1, S, L)
-    o_ref[...] = _carry_rows(wide)
-
-
-def _redc_window(nl, n0, acc, tail, p_blk, mask):
-    """Shared CIOS reduction loop over a sliding nl+1-row window.
-
-    ``tail(i)`` supplies the wide-value column that slides in at step i
-    (zeros for the fused kernel, t's upper columns for standalone redc).
-    Returns the nl+1-row window after all nl reduction steps.
-    """
-    n0c = _U32(n0)
-    for i in range(nl):
-        v = acc[0:1]                               # full column value
-        m = (v * n0c) & mask                       # CIOS digit
-        mp = m * p_blk                             # (nl, S, L)
-        z1 = jnp.zeros_like(v)
-        acc = acc + jnp.concatenate([mp & mask, z1], 0) \
-                  + jnp.concatenate([z1, mp >> W], 0)
-        carry = acc[0:1] >> W                      # low 16 bits now zero
-        acc = _shift_in(acc, tail(i))
-        acc = jnp.concatenate([acc[0:1] + carry, acc[1:]], 0)
-    return acc
+    """Exact 2nl+1-limb product."""
+    a = _R.rows_of(a_ref, nl)
+    b = _R.rows_of(b_ref, nl)
+    o_ref[...] = _R.stack_rows(_R.mul_wide(nl, a, b))
 
 
 def _redc_kernel(nl, n0, t_ref, p_ref, o_ref):
-    t = t_ref[...]                                 # (2nl+1, S, L) exact limbs
-    p_blk = p_ref[...]
-    mask = _U32(MASK)
-    acc = t[:nl + 1]
-    acc = _redc_window(nl, n0, acc, lambda i: t[nl + 1 + i: nl + 2 + i],
-                       p_blk, mask)
-    o_ref[...] = _carry_rows(acc)[:nl]
+    t = _R.rows_of(t_ref, 2 * nl + 1)
+    p = _R.rows_of(p_ref, nl)
+    o_ref[...] = _R.stack_rows(_R.redc(nl, n0, p, t))
 
 
 def _mont_mul_kernel(nl, n0, a_ref, b_ref, p_ref, o_ref):
-    """Fused CIOS Montgomery product: a*b*R^{-1} mod p, output < 2p.
-
-    Product rows and reduction steps interleave on one nl+1-row window;
-    the wide value never materializes. Bit-identical to redc(mul_wide(a,b)):
-    product contributions to column i all arrive by step i, so the m-digit
-    sequence matches the standalone reduction.
-    """
-    a = a_ref[...]
-    b = b_ref[...]
-    p_blk = p_ref[...]
-    mask = _U32(MASK)
-    n0c = _U32(n0)
-    acc = jnp.zeros((nl + 1,) + a.shape[1:], _U32)
-    z1 = acc[0:1]
-    for i in range(nl):
-        acc = _accum_product_row(nl, acc, _row(a, i), b, mask)
-        v = acc[0:1]
-        m = (v * n0c) & mask
-        mp = m * p_blk
-        acc = acc + jnp.concatenate([mp & mask, z1], 0) \
-                  + jnp.concatenate([z1, mp >> W], 0)
-        carry = acc[0:1] >> W
-        acc = _shift_in(acc, z1)
-        acc = jnp.concatenate([acc[0:1] + carry, acc[1:]], 0)
-    o_ref[...] = _carry_rows(acc)[:nl]
+    """Fused CIOS Montgomery product: a*b*R^{-1} mod p, output < 2p."""
+    a = _R.rows_of(a_ref, nl)
+    b = _R.rows_of(b_ref, nl)
+    p = _R.rows_of(p_ref, nl)
+    o_ref[...] = _R.stack_rows(_R.mont_mul(nl, n0, p, a, b))
 
 
 # ------------------------------------------------------------------- wrappers

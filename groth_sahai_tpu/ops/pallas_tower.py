@@ -121,10 +121,10 @@ def _f12_mul(nl, n0, p, a, b):
     return (c0, c1)
 
 
-def _split12(x, nl):
-    """(nl*12, S, L) -> Fq12 nested tuples (2 x 3 x 2 of (nl, S, L))."""
+def _split12(ref, nl):
+    """Fq12 ref (nl*12 rows) -> nested tuples of ROW LISTS (2 x 3 x 2)."""
     def coeff(m):
-        return x[m * nl:(m + 1) * nl]
+        return [ref[m * nl + i] for i in range(nl)]
 
     return tuple(
         tuple((coeff(6 * i + 2 * j), coeff(6 * i + 2 * j + 1))
@@ -136,17 +136,17 @@ def _join12(c, nl):
     rows = []
     for i in range(2):
         for j in range(3):
-            rows.append(c[i][j][0])
-            rows.append(c[i][j][1])
-    return jnp.concatenate(rows, 0)
+            rows.extend(c[i][j][0])
+            rows.extend(c[i][j][1])
+    return jnp.stack(rows, 0)
 
 
 def _fq12_mul_kernel(nl, n0, a_ref, b_ref, p_ref, one_ref, o_ref):
-    p = p_ref[...]
-    a = _split12(a_ref[...], nl)
-    b = _split12(b_ref[...], nl)
+    p = R.rows_of(p_ref, nl)
+    a = _split12(a_ref, nl)
+    b = _split12(b_ref, nl)
     c = _f12_mul(nl, n0, p, a, b)
-    one = one_ref[...]
+    one = R.rows_of(one_ref, nl)
     red = lambda x: R.mont_mul(nl, n0, p, x, one)   # post-reduce to < 2p
     c = tuple(tuple((red(f2[0]), red(f2[1])) for f2 in f6) for f6 in c)
     o_ref[...] = _join12(c, nl)
@@ -161,13 +161,12 @@ def _cyc_sqr_kernel(nl, n0, a_ref, p_ref, one_ref, o_ref):
       comb_a <= 3t+4p <= 34p ; comb_b <= 40p ; z3 (xi-mixed) <= 58p
       all POST-REDUCED to < 2p with one Montgomery-one multiply each.
     """
-    p = p_ref[...]
+    p = R.rows_of(p_ref, nl)
     mm = lambda x, y: R.mont_mul(nl, n0, p, x, y)
     kp = lambda k: R.kp_limbs(p, k)
-    x = a_ref[...]
 
     def coeff(m):
-        return x[m * nl:(m + 1) * nl]
+        return [a_ref[m * nl + i] for i in range(nl)]
 
     # Fq2 coefficient m = 3i + j <-> flat coeffs (6i + 2j, 6i + 2j + 1)
     def fq2(i, j):
@@ -213,15 +212,15 @@ def _cyc_sqr_kernel(nl, n0, a_ref, p_ref, one_ref, o_ref):
          comb_b(xiC1, c[3]),         # z3 = 3 xi C1 + 2c3
          comb_b(tb[0], c[4]),        # z4 = 3A1 + 2c4
          comb_b(tb[1], c[5])]        # z5 = 3B1 + 2c5
-    one = one_ref[...]
+    one = R.rows_of(one_ref, nl)
     red = lambda v: mm(v, one)
     rows = []
     for i in range(2):
         for j in range(3):
             zm = z[3 * i + j]
-            rows.append(red(zm[0]))
-            rows.append(red(zm[1]))
-    o_ref[...] = jnp.concatenate(rows, 0)
+            rows.extend(red(zm[0]))
+            rows.extend(red(zm[1]))
+    o_ref[...] = jnp.stack(rows, 0)
 
 def _call12(kernel, arrays, interpret):
     from .fp import FQ

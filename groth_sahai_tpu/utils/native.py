@@ -21,8 +21,12 @@ _LIB = None
 def _build(csrc_dir: str) -> bool:
     """Compile libgslimbs.so in-tree (one g++ invocation, no deps).
 
-    Runs at most once per process when the library is absent; disable with
-    GS_NATIVE_BUILD=0. Returns True when the .so exists afterwards.
+    Runs at most once per process when the library is absent OR stale
+    (limbs.cpp newer than the .so); disable with GS_NATIVE_BUILD=0.  The
+    compiler writes to a process-unique temp name which is os.rename()d
+    into place, so concurrent builders (parallel test workers, multi-host
+    launch) can never dlopen a half-written library.  Build failures emit
+    a one-time warning instead of silently dropping to the slow fallback.
     """
     if os.environ.get("GS_NATIVE_BUILD", "1") == "0":
         return False
@@ -31,13 +35,29 @@ def _build(csrc_dir: str) -> bool:
     out = os.path.join(csrc_dir, "libgslimbs.so")
     if not os.path.exists(src):
         return False
+    tmp = out + f".tmp.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", out, src],
+            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", tmp, src],
             check=True, capture_output=True, timeout=120)
-    except Exception:
+        os.rename(tmp, out)          # atomic on the same filesystem
+    except Exception as e:           # noqa: BLE001 -- warn, use fallback
+        import warnings
+        warnings.warn(f"native libgslimbs build failed ({e!r}); "
+                      "falling back to numpy limb codecs", RuntimeWarning)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
     return os.path.exists(out)
+
+
+def _stale(src: str, lib: str) -> bool:
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(lib)
+    except OSError:
+        return False
 
 
 def _load():
@@ -47,7 +67,8 @@ def _load():
     csrc = os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
                                         "..", "csrc"))
     path = os.path.join(csrc, "libgslimbs.so")
-    if not os.path.exists(path):
+    if (not os.path.exists(path)
+            or _stale(os.path.join(csrc, "limbs.cpp"), path)):
         _build(csrc)
     try:
         lib = ctypes.CDLL(path)
