@@ -243,8 +243,8 @@ class Curve:
         # Built with ONE scanned madd body (not 2^w - 2 inlined adds: XLA
         # CPU compile time scales with distinct instances).
         def tab_step(acc, _):
-            acc = (PC.cmadd(acc, p_affine, curve=self) if fused
-                   else PJ.madd(self, acc, p_affine))
+            acc = (PC.cmadd(acc, p_affine, curve=self, cap=PC.LOOP_LANES)
+                   if fused else PJ.madd(self, acc, p_affine))
             return acc, acc
 
         p1 = PJ.from_affine(self, p_affine)
@@ -268,7 +268,8 @@ class Curve:
                     (1,) * self.ns + onehot.shape)).sum(
                         axis=self.ns, dtype=jnp.uint32), table)
             if fused:
-                acc = PC.cdbl_n_add(acc, window, sel, curve=self)
+                acc = PC.cdbl_n_add(acc, window, sel, curve=self,
+                                    cap=PC.LOOP_LANES)
             else:
                 acc = PJ.dbl_n(self, acc, window)
                 # Defensive barrier: XLA:TPU miscompiled the Jacobian

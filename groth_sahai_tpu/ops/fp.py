@@ -365,9 +365,16 @@ class PrimeField:
     # -------------------------------------------------------------- pow / inv
 
     def pow_const(self, a, e: int):
-        """a^e (Montgomery in/out) for a fixed Python-int exponent via scan."""
+        """a^e (Montgomery in/out) for a fixed Python-int exponent via scan.
+
+        On TPU the whole square/multiply chain runs as ONE fused Pallas
+        kernel (pallas_fp.pow_const): the scan path dispatches a mont
+        kernel per bit (~380 sequential launches for a Fermat inversion).
+        """
         if e == 0:
             return jnp.broadcast_to(self.one(a.shape[1:]), a.shape)
+        if e > 1 and pallas_fp.enabled() and pallas_fp.no_batch_tracer(a):
+            return pallas_fp.pow_const(self, a, e)
         nbits = e.bit_length()
         bits = jnp.asarray(
             np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)],

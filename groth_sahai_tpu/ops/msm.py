@@ -122,17 +122,22 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
     rows = -(-M // width)
     Mp = rows * width
 
-    # ---- 1-2: keys + ONE global sort --------------------------------------
+    # ---- 1-2: per-window digit sort ---------------------------------------
+    # W independent N-element sorts along the last axis instead of one
+    # global W*N sort: same window-major sorted stream (13-bit digit keys;
+    # the window id would only occupy the high bits), ~log(W*N)/log(N)
+    # fewer bitonic passes and all W rows sort in parallel.
     digs = _digits(scalars_std, window)                    # (W, N)
+    idxN = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None, :],
+                            (n_windows, N))
+    digs_s, idx_sw = lax.sort((digs, idxN), num_keys=1)    # last axis
     win_ix = jnp.arange(n_windows, dtype=jnp.uint32)[:, None]
-    keys = (digs + win_ix * nbuck).reshape(M)
-    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None, :],
-                           (n_windows, N)).reshape(M)
-    if Mp != M:   # pad with a sentinel key beyond every real bucket
-        keys = jnp.concatenate(
-            [keys, jnp.full((Mp - M,), n_windows * nbuck, jnp.uint32)])
-        idx = jnp.concatenate([idx, jnp.zeros((Mp - M,), jnp.uint32)])
-    keys_s, idx_s = lax.sort((keys, idx), num_keys=1)
+    keys_s = (digs_s + win_ix * nbuck).reshape(M)          # globally sorted
+    idx_s = idx_sw.reshape(M)
+    if Mp != M:   # sentinel tail keeps global sortedness
+        keys_s = jnp.concatenate(
+            [keys_s, jnp.full((Mp - M,), n_windows * nbuck, jnp.uint32)])
+        idx_s = jnp.concatenate([idx_s, jnp.zeros((Mp - M,), jnp.uint32)])
 
     # ---- 3: gather points into sorted order, column-major ------------------
     # lane L owns sorted chunk [L*rows, (L+1)*rows): element (r, L) is
@@ -158,7 +163,7 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
     if fused:
         # the WHOLE row scan as one pallas_call: grid-carried scratch
         # accumulator, zero per-row dispatch/HBM-roundtrip overhead
-        lane_tot, ys = PC.cmsm_row_scan(curve, pts)
+        lane_tot, ys_raw = PC.cmsm_row_scan(curve, pts)
     else:
         def row_step(acc, inp):
             px, py, pinf = inp
@@ -168,7 +173,15 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
         xs = (jnp.moveaxis(pts[0], ns, 0), jnp.moveaxis(pts[1], ns, 0),
               pts[2])
         lane_tot, ys = lax.scan(row_step, PJ.inf(curve, (width,)), xs)
-    # ys leaves: (rows, *struct, width) projective prefixes per lane
+        # raw gatherable layout (rows, cr, width); Fq2 = c0 rows then c1
+        if ns == 2:
+            nl = ys[0].shape[1]
+            ys_raw = tuple(
+                y.transpose(0, 2, 1, 3).reshape(rows, 2 * nl, width)
+                for y in ys)
+        else:
+            ys_raw = ys
+    # ys_raw leaves: (rows, cr, width) projective prefix stream
 
     # ---- 5: exclusive lane prefix -> global prefix lookup -------------------
     # Hillis-Steele log-depth prefix: log2(width) full-width adds. (An
@@ -193,15 +206,26 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
         for i0, li in zip(inf1, lane_incl))
 
     def g_at(pos, valid):
-        """G[pos] = inclusive global prefix at sorted position pos (or inf)."""
+        """G[pos] = inclusive global prefix at sorted position pos (or inf).
+
+        Gathers (row, lane) pairs straight out of the raw prefix stream --
+        no 100+MB transpose materialization -- and runs the combine add as
+        one fused kernel."""
         lane = (pos // rows).astype(jnp.int32)
         row = (pos % rows).astype(jnp.int32)
-        flat = row * width + lane                          # ys row-major
-        ysf = tuple(jnp.moveaxis(y, 0, -2).reshape(
-            y.shape[1:ns + 1] + (rows * width,)) for y in ys)
-        p_local = _take_jac(curve, ysf, flat)
+
+        def gather_rc(yr):
+            g = jax.vmap(lambda r, l: yr[r, :, l])(row, lane)   # (Q, cr)
+            rc = g.T                                            # (cr, Q)
+            if ns == 2:
+                nl = rc.shape[0] // 2
+                return jnp.moveaxis(rc.reshape(2, nl, -1), 0, 1)
+            return rc
+
+        p_local = tuple(gather_rc(y) for y in ys_raw)
         p_lane = _take_jac(curve, lane_excl, lane)
-        g = PJ.add(curve, p_lane, p_local)
+        g = (PC.cadd(p_lane, p_local, curve=curve) if fused
+             else PJ.add(curve, p_lane, p_local))
         return _jac_where(valid, g, PJ.inf(curve, pos.shape))
 
     # ---- 6: weighted bucket sums via prefix differences ---------------------
@@ -221,13 +245,42 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
         l[..., n_windows:].reshape(l.shape[:-1] + (n_windows, nbuck - 1))
         for l in u_all)                                         # proj (W, nb-1)
     # T_{w,d} = u_end - u_starts: one batched complete add with negated Y
-    # (projective coords stay < 4p, so neg with k=4).
-    bigL = tuple(jnp.broadcast_to(l[..., :, None],
-                                  l.shape + (nbuck - 1,)) for l in u_end)
+    # (projective coords stay < 4p, so neg with k=4); the digit axis is
+    # padded to nbuck with NEUTRAL lanes (inf + inf = inf on the complete
+    # law) so every downstream reduction shape is a power of two.
+    inf_col = PJ.inf(curve, (n_windows, 1))
+    bigL = tuple(
+        jnp.concatenate([jnp.broadcast_to(l[..., :, None],
+                                          l.shape + (nbuck - 1,)), ic],
+                        axis=-1)
+        for l, ic in zip(u_end, inf_col))
     negR = (u_starts[0], curve.F.neg(u_starts[1], k=4), u_starts[2])
-    diffs = (PC.cadd(bigL, negR, curve=curve) if fused
-             else PJ.add(curve, bigL, negR))
-    wsums = PJ.sum_reduce(curve, diffs, axis=1)                 # proj (W,)
+    negR = tuple(jnp.concatenate([x, ic], axis=-1)
+                 for x, ic in zip(negR, inf_col))
+    cadd = (lambda a, b: PC.cadd(a, b, curve=curve)) if fused         else (lambda a, b: PJ.add(curve, a, b))
+    diffs = cadd(bigL, negR)                                # proj (W, nbuck)
+
+    # window sums: halve the digit axis to <= 1024 lanes (3 fixed-shape
+    # folds for nbuck 8192), then ONE Hillis-Steele inclusive prefix at a
+    # constant shape (10 launches, all identical) and take the last lane.
+    # A log-tree all the way down would touch ~13 distinct kernel shapes;
+    # Mosaic recompiles per shape (~minutes each cold).
+    x = diffs
+    L = nbuck
+    while L > 1024:
+        half = L // 2
+        x = cadd(tuple(v[..., :half] for v in x),
+                 tuple(v[..., half:] for v in x))
+        L = half
+    shift = 1
+    infWL = PJ.inf(curve, (n_windows, L))
+    while shift < L:
+        shifted = tuple(
+            jnp.concatenate([ip[..., :shift], v[..., :L - shift]], axis=-1)
+            for ip, v in zip(infWL, x))
+        x = cadd(x, shifted)
+        shift *= 2
+    wsums = tuple(v[..., L - 1] for v in x)                 # proj (W,)
 
     # ---- 7: combine windows: acc = sum_k 2^(w k) wsums[k], high to low -----
     def win_step(acc, k_rev):

@@ -147,10 +147,23 @@ def miller_loop(p_aff, q_aff):
     R0 = (q_aff[0], q_aff[1], FQ2.one(batch))
     f0 = FQ12.one(batch)
 
+    # On TPU each Miller step runs as ONE fused Pallas kernel
+    # (pallas_tower.miller_dbl_step/add_step) instead of ~20 mul_wide/redc
+    # launches of XLA glue -- the 63-iteration loop is dispatch-bound
+    # otherwise. Same formulas/bounds; CPU keeps the pure-JAX steps.
+    from . import pallas_tower as PT
+    total = 1
+    for d in batch:
+        total *= int(d)
+    fused_steps = PT.usable(p_aff[0], q_aff[0]) and total <= 4096
+
     def dbl_body(state, _):
         f, R = state
         f = FQ12.sqr(f)
-        R, line = _dbl_step(R, two_inv, b3)
+        if fused_steps:
+            R, line = PT.miller_dbl_step(R, _TWO_INV_INT)
+        else:
+            R, line = _dbl_step(R, two_inv, b3)
         f = _ell(f, line, px, py, batch)
         return (f, R), None
 
@@ -167,7 +180,10 @@ def miller_loop(p_aff, q_aff):
 
         def with_add(st):
             f, R = st
-            R2, line_a = _add_step(R, q_aff)
+            if fused_steps:
+                R2, line_a = PT.miller_add_step(R, q_aff)
+            else:
+                R2, line_a = _add_step(R, q_aff)
             return (_ell(f, line_a, px, py, batch), R2)
 
         return lax.cond(do_add, with_add, lambda st: st, state), None

@@ -50,12 +50,13 @@ from . import pallas_fp as PF
 
 _U32 = jnp.uint32
 
-# Above this many batch lanes, XLA pins whole pallas operands in VMEM when
-# the call sits inside a loop body (observed scoped-vmem OOM at 64k lanes:
-# 9 operands x 25 rows x m x 4B). The wrappers fall back to the pure-JAX
-# group law beyond the cap; every hot loop (MSM width <= 8192, pairing
-# batch <= 2048, commit widths) stays under it.
-MAX_LANES = 8192
+# Lane caps before the wrappers fall back to the pure-JAX group law.
+# LOOP_LANES guards calls that sit inside lax.scan/fori bodies: XLA pins
+# whole pallas operands in VMEM there (observed scoped-vmem OOM at 64k
+# lanes: 9 operands x 25 rows x m x 4B).  Straight-line calls (the MSM
+# tail reductions) stream blocks through the grid and can go much wider.
+MAX_LANES = 1 << 18
+LOOP_LANES = 8192
 
 
 def usable(curve, *arrays) -> bool:
@@ -88,9 +89,11 @@ class _Ctx:
         self._kp = {}
 
     def kp(self, k):
-        if k not in self._kp:
-            self._kp[k] = R.kp_limbs(self.p, k)
-        return self._kp[k]
+        # NO caching: a value first computed inside a lax.fori_loop body
+        # trace would leak into post-loop uses as a captured constant
+        # (pallas rejects kernel constvars; cost is trace-time only --
+        # Mosaic CSEs identical k*p chains).
+        return R.kp_limbs(self.p, k)
 
     def one(self):
         return self._one
@@ -129,7 +132,7 @@ class _FqA:
 
     @staticmethod
     def zero(ctx, like):
-        return [jnp.zeros_like(r) for r in like]
+        return [R._zero_like(r) for r in like]
 
     @staticmethod
     def one(ctx, like):
@@ -186,12 +189,12 @@ class _Fq2A:
 
     @staticmethod
     def zero(ctx, like):
-        z = [jnp.zeros_like(r) for r in like[0]]
+        z = [R._zero_like(r) for r in like[0]]
         return (z, z)
 
     @staticmethod
     def one(ctx, like):
-        return (ctx.one(), [jnp.zeros_like(r) for r in like[0]])
+        return (ctx.one(), [R._zero_like(r) for r in like[0]])
 
     @staticmethod
     def mul_b3(ctx, a, k):
@@ -420,15 +423,19 @@ def _cdbl_n_add_kernel(F2, nl, n0, n_dbl, X1, Y1, Z1, X2, Y2, Z2,
     F = _Fq2A if F2 else _FqA
     u = lambda r: _unpack(F2, nl, r)
     X, Y, Z = u(X1), u(Y1), u(Z1)
-    for _ in range(n_dbl):
-        X, Y, Z = _cdbl_body(F, ctx, X, Y, Z)
+    # fori_loop keeps the kernel graph at ONE doubling body (Mosaic compile
+    # time scales with body size; n_dbl=13 inline tripled it)
+    def dstep(_, pt):
+        return _cdbl_body(F, ctx, *pt)
+    X, Y, Z = jax.lax.fori_loop(0, n_dbl, dstep, (X, Y, Z))
     X, Y, Z = _cadd_body(F, ctx, X, Y, Z, u(X2), u(Y2), u(Z2))
     oX[...] = _pack(F2, X)
     oY[...] = _pack(F2, Y)
     oZ[...] = _pack(F2, Z)
 
 
-def cmadd(proj, aff, interpret: bool = False, curve=None):
+def cmadd(proj, aff, interpret: bool = False, curve=None,
+          cap: int = MAX_LANES):
     """Complete projective + affine, one fused kernel (ops/proj.py madd)."""
     curve = curve or _g1()
     F2, nl, n0 = _curve_args(curve)
@@ -437,7 +444,7 @@ def cmadd(proj, aff, interpret: bool = False, curve=None):
     for leaf in (*proj, aff[0], aff[1]):
         f, batch, m = _flat_coord(curve, leaf)
         arrs.append(f)
-    if m > MAX_LANES and not interpret:
+    if m > cap and not interpret:
         from . import proj as PJ
         return PJ.madd(curve, proj, aff)
     ainf = aff[2].astype(_U32).reshape(1, -1)
@@ -447,7 +454,8 @@ def cmadd(proj, aff, interpret: bool = False, curve=None):
     return tuple(_unflat_coord(curve, o, batch) for o in outs)
 
 
-def cadd(p, q, interpret: bool = False, curve=None):
+def cadd(p, q, interpret: bool = False, curve=None,
+         cap: int = MAX_LANES):
     """Complete projective addition, one fused kernel (ops/proj.py add)."""
     curve = curve or _g1()
     F2, nl, n0 = _curve_args(curve)
@@ -456,7 +464,7 @@ def cadd(p, q, interpret: bool = False, curve=None):
     for leaf in (*p, *q):
         f, batch, m = _flat_coord(curve, leaf)
         arrs.append(f)
-    if m > MAX_LANES and not interpret:
+    if m > cap and not interpret:
         from . import proj as PJ
         return PJ.add(curve, p, q)
     outs = _call_curve(curve, functools.partial(_cadd_kernel, F2, nl, n0),
@@ -464,7 +472,8 @@ def cadd(p, q, interpret: bool = False, curve=None):
     return tuple(_unflat_coord(curve, o, batch) for o in outs)
 
 
-def cdbl_n_add(p, n_dbl: int, q, interpret: bool = False, curve=None):
+def cdbl_n_add(p, n_dbl: int, q, interpret: bool = False, curve=None,
+               cap: int = LOOP_LANES):
     """n_dbl doublings then one add, fused (ladder/window-combine step)."""
     curve = curve or _g1()
     F2, nl, n0 = _curve_args(curve)
@@ -473,7 +482,7 @@ def cdbl_n_add(p, n_dbl: int, q, interpret: bool = False, curve=None):
     for leaf in (*p, *q):
         f, batch, m = _flat_coord(curve, leaf)
         arrs.append(f)
-    if m > MAX_LANES and not interpret:
+    if m > cap and not interpret:
         from . import proj as PJ
         return PJ.add(curve, PJ.dbl_n(curve, p, n_dbl), q)
     outs = _call_curve(
@@ -580,15 +589,14 @@ def cmsm_row_scan(curve, pts_sorted, interpret: bool = False):
         interpret=interpret,
     )(x4, y4, inf4, p_blk, one_blk)
 
-    def from4(o):
-        c = o.reshape(rows_n, cr, wpad)[:, :, :width]
-        if F2:
-            c = jnp.stack([c[:, :nl], c[:, nl:]], 2)
-            return jnp.moveaxis(c, 0, 0).transpose(1, 2, 0, 3)
-        return jnp.moveaxis(c, 1, 0)
+    # RAW prefix stream (rows, cr, width): no transposes -- the caller
+    # gathers (row, lane) pairs directly (ops/msm.py g_at).
+    ys_raw = tuple(o.reshape(rows_n, cr, wpad)[:, :, :width] for o in outs)
 
-    ys = tuple(jnp.moveaxis(from4(o), curve.ns, 0) for o in outs)
-    lane_tot = tuple(
-        jax.lax.index_in_dim(yl, rows_n - 1, axis=0, keepdims=False)
-        for yl in ys)
-    return lane_tot, ys
+    def coord(last):                     # (cr, width) -> structured coords
+        if F2:
+            return jnp.moveaxis(last.reshape(2, nl, width), 0, 1)
+        return last
+
+    lane_tot = tuple(coord(y[rows_n - 1]) for y in ys_raw)
+    return lane_tot, ys_raw

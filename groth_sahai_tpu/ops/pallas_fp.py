@@ -188,3 +188,77 @@ def mont_mul(field, a, b, interpret: bool = False):
     out = _call(functools.partial(_mont_mul_kernel, nl, field.n0),
                 [nl, nl], nl, [a2, b2], interpret, p_np=field.p_limbs)
     return out.reshape((nl,) + batch)
+
+
+# ------------------------------------------------- fused exponentiation chain
+#
+# pow_const as ONE kernel: fori_loop over the (static) exponent bits with
+# the square/multiply pair in-register; the bit string rides in SMEM.  The
+# pure-JAX path is a lax.scan whose body dispatches a mont kernel per step
+# -- ~380 sequential launches of ~15 us latency each for a Fermat
+# inversion (the dominant cost of to_affine on small batches).  Here it is
+# one launch.
+
+def _pow_chain_kernel(nl, n0, nbits, a_ref, bits_ref, p_ref, one_ref, o_ref):
+    from . import pallas_reg as _R2
+    a = _R2.rows_of(a_ref, nl)
+    p = _R2.rows_of(p_ref, nl)
+    one = _R2.rows_of(one_ref, nl)
+
+    def body(i, acc):
+        acc = _R2.mont_mul(nl, n0, p, acc, acc)
+        am = _R2.mont_mul(nl, n0, p, acc, a)
+        bit = bits_ref[i]
+        return [jnp.where(bit != 0, x, y) for x, y in zip(am, acc)]
+
+    acc = jax.lax.fori_loop(0, nbits, body, list(one))
+    o_ref[...] = _R.stack_rows(acc)
+
+
+def pow_const(field, a, e: int, interpret: bool = False):
+    """a^e (Montgomery in/out) as one fused chain kernel."""
+    assert e > 0
+    nl = field.n
+    a2, batch, m = _flatten(a, nl)
+    bits = np.array([(e >> (e.bit_length() - 1 - i)) & 1
+                     for i in range(e.bit_length())], dtype=np.int32)
+    mp, s_tile = _tile_of(m)
+    s_total = mp // _LANE
+    if mp != m:
+        a2 = jnp.pad(a2, ((0, 0), (0, mp - m)))
+    a3 = a2.reshape(nl, s_total, _LANE)
+    const_rows = []
+    from .limbs import int_to_limbs
+    for c in (field.p_limbs, int_to_limbs(field.r_mod_p, nl)):
+        const_rows.append(jnp.broadcast_to(
+            jnp.asarray(c, dtype=_U32).reshape(nl, 1, 1),
+            (nl, s_tile, _LANE)))
+    out = pl.pallas_call(
+        functools.partial(_pow_chain_kernel, nl, field.n0, len(bits)),
+        grid=(s_total // s_tile,),
+        in_specs=[
+            pl.BlockSpec((nl, s_tile, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nl, s_tile, _LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nl, s_tile, _LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nl, s_tile, _LANE), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nl, s_total, _LANE), _U32),
+        interpret=interpret,
+    )(a3, jnp.asarray(bits), *const_rows)
+    out = out.reshape(nl, mp)
+    out = out[:, :m] if mp != m else out
+    return out.reshape((nl,) + batch)
+
+
+def no_batch_tracer(*arrays) -> bool:
+    from jax._src.interpreters import batching
+    for arr in arrays:
+        for leaf in jax.tree_util.tree_leaves(arr):
+            if isinstance(leaf, batching.BatchTracer):
+                return False
+    return True

@@ -81,13 +81,20 @@ def kp_limbs(p_rows, k: int):
     return mul_small(p_rows, k)
 
 
+def _zero_like(x):
+    """Zero with NO constant materialization (x ^ x stays a traced value:
+    jnp.zeros_like would become a kernel-captured constant inside
+    fori_loop bodies, which pallas_call rejects)."""
+    return x ^ x
+
+
 def sub(a, b, kp_rows):
     """a - b + k*p via a single add/sub chain; kp_rows = kp_limbs(p, k).
 
     Requires bound(b) <= k*p. Result bound: bound(a) + k*p, exact limbs.
     """
     mask = _U32(MASK)
-    c = jnp.ones_like(a[0])
+    c = _zero_like(a[0]) + _U32(1)
     outs = []
     for ai, bi, ki in zip(a, b, kp_rows):
         v = ai + ki + mask - bi + c
@@ -100,7 +107,7 @@ def sub(a, b, kp_rows):
 def neg(a, kp_rows):
     """k*p - a with bound(a) <= k*p."""
     mask = _U32(MASK)
-    c = jnp.ones_like(a[0])
+    c = _zero_like(a[0]) + _U32(1)
     outs = []
     for ai, ki in zip(a, kp_rows):
         v = ki + mask - ai + c
@@ -121,7 +128,7 @@ def mont_mul(nl: int, n0: int, p_rows, a, b):
     """
     mask = _U32(MASK)
     n0c = _U32(n0)
-    z = jnp.zeros_like(a[0])
+    z = _zero_like(a[0])
     acc = [z] * (nl + 1)
     for i in range(nl):
         ai = a[i]
@@ -147,7 +154,7 @@ def sqr(nl: int, n0: int, p_rows, a):
 def mul_wide(nl: int, a, b):
     """Exact 2nl+1-limb product (no reduction): list of 2nl+1 rows."""
     mask = _U32(MASK)
-    z = jnp.zeros_like(a[0])
+    z = _zero_like(a[0])
     acc = [z] * (2 * nl + 1)
     for i in range(nl):
         ai = a[i]
@@ -171,7 +178,7 @@ def redc(nl: int, n0: int, p_rows, t):
             acc[j] = acc[j] + (mp & mask)
             acc[j + 1] = acc[j + 1] + (mp >> W)
         cr = acc[0] >> W
-        tail = t[nl + 1 + i] if nl + 1 + i < len(t) else jnp.zeros_like(acc[0])
+        tail = t[nl + 1 + i] if nl + 1 + i < len(t) else _zero_like(acc[0])
         acc = acc[1:] + [tail]
         acc[0] = acc[0] + cr
     return carry(acc)[:nl]

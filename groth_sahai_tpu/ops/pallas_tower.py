@@ -310,3 +310,212 @@ def usable(*arrays) -> bool:
             if isinstance(leaf, batching.BatchTracer):
                 return False
     return True
+
+
+# ---------------------------------------------- fused Miller-loop step kernels
+#
+# One pallas_call per Miller doubling/addition step (ops/pairing.py
+# _dbl_step/_add_step): the XLA-glue version issues ~20 small mul_wide/redc
+# launches per iteration, so the 63-iteration loop is dispatch-bound.
+# Formulas and bounds mirror ops/pairing.py exactly; every Fq2 product here
+# is post-reduced to < 2p (mont-by-one), keeping the same audit.
+# Line coefficients are returned pre-scaled by the G1 coords:
+# (l0, l1*px, l2*py) -- ready for the sparse f-update.
+
+def _f2_mulred(nl, n0, p, one, a, b):
+    c0, c1 = _f2_mul(nl, n0, p, a, b)
+    mm = lambda x: R.mont_mul(nl, n0, p, x, one)
+    return (mm(c0), mm(c1))
+
+
+def _f2_sqrred(nl, n0, p, one, a):
+    return _f2_mulred(nl, n0, p, one, a, a)
+
+
+def _f2_mul_fq(nl, n0, p, s, a):
+    """Fq2 * Fq scalar (both < 8p): componentwise mont, out < 2p."""
+    return (R.mont_mul(nl, n0, p, a[0], s), R.mont_mul(nl, n0, p, a[1], s))
+
+
+def _miller_dbl_kernel(nl, n0, X_r, Y_r, Z_r, tinv_r, p_r, one_r,
+                       oX, oY, oZ, ol0a, ol0b, ol1, ol2a, ol2b):
+    """Projective doubling step; outputs R' and raw line coeffs
+    (l0 Fq2, l1 = 3j Fq2, l2 = -h Fq2); px/py scaling happens outside
+    (it needs the G1 coords; cheap: 4 mont muls)."""
+    p = R.rows_of(p_r, nl)
+    one = R.rows_of(one_r, nl)
+    tinv = R.rows_of(tinv_r, nl)
+    u2 = lambda r: ([r[i] for i in range(nl)],
+                    [r[nl + i] for i in range(nl)])
+    X, Y, Z = u2(X_r), u2(Y_r), u2(Z_r)
+    f2m = lambda a, b: _f2_mulred(nl, n0, p, one, a, b)
+    f2s = lambda a: _f2_sqrred(nl, n0, p, one, a)
+    f2fq = lambda a, s: _f2_mul_fq(nl, n0, p, s, a)
+    fadd = lambda a, b: (R.add(a[0], b[0]), R.add(a[1], b[1]))
+    fdbl = lambda a: (R.double(a[0]), R.double(a[1]))
+    fsub = lambda a, b, k: (R.sub(a[0], b[0], R.kp_limbs(p, k)),
+                            R.sub(a[1], b[1], R.kp_limbs(p, k)))
+    # a = X*Y/2 ; b = Y^2 ; c = Z^2 ; j = X^2
+    a = f2fq(f2m(X, Y), tinv)                    # < 2p
+    b = f2s(Y)
+    c = f2s(Z)
+    j = f2s(X)
+    # e = 3c * b_twist = 12 * xi(c)  (b = 4(u+1))
+    kp2 = R.kp_limbs(p, 2)
+    e = (R.mul_small(R.sub(c[0], c[1], kp2), 12),
+         R.mul_small(R.add(c[0], c[1]), 12))     # < 48p
+    f = (R.add(R.double(e[0]), e[0]), R.add(R.double(e[1]), e[1]))  # < 144p
+    g = f2fq(fadd(b, f), tinv)                   # (2p+144p)*tinv mont < 2p
+    h = fsub(f2s(fadd(Y, Z)), fadd(b, c), 4)     # < 6p
+    i = fsub(e, b, 2)                            # < 50p
+    e2 = f2s(e)                                  # < 2p
+    X3 = f2m(a, fsub(b, f, 144))                 # < 2p
+    Y3 = fsub(f2s(g), (R.add(R.double(e2[0]), e2[0]),
+                       R.add(R.double(e2[1]), e2[1])), 8)   # < 10p
+    Z3 = f2m(b, h)
+    l1 = (R.add(R.double(j[0]), j[0]), R.add(R.double(j[1]), j[1]))  # 3j < 6p
+    kp8 = R.kp_limbs(p, 8)
+    l2 = (R.neg(h[0], kp8), R.neg(h[1], kp8))    # -h < 8p
+    pack = lambda v: R.stack_rows(list(v[0]) + list(v[1]))
+    oX[...] = pack(X3)
+    oY[...] = pack(Y3)
+    oZ[...] = pack(Z3)
+    ol0a[...] = R.stack_rows(i[0])
+    ol0b[...] = R.stack_rows(i[1])
+    ol1[...] = pack(l1)
+    ol2a[...] = R.stack_rows(l2[0])
+    ol2b[...] = R.stack_rows(l2[1])
+
+
+def _miller_add_kernel(nl, n0, X_r, Y_r, Z_r, xq_r, yq_r, p_r, one_r,
+                       oX, oY, oZ, ol0a, ol0b, ol1, ol2a, ol2b):
+    """Mixed addition step with affine Q; line = (j, -theta, lambda)."""
+    p = R.rows_of(p_r, nl)
+    one = R.rows_of(one_r, nl)
+    u2 = lambda r: ([r[i] for i in range(nl)],
+                    [r[nl + i] for i in range(nl)])
+    X, Y, Z = u2(X_r), u2(Y_r), u2(Z_r)
+    xq, yq = u2(xq_r), u2(yq_r)
+    f2m = lambda a, b: _f2_mulred(nl, n0, p, one, a, b)
+    f2s = lambda a: _f2_sqrred(nl, n0, p, one, a)
+    fadd = lambda a, b: (R.add(a[0], b[0]), R.add(a[1], b[1]))
+    fdbl = lambda a: (R.double(a[0]), R.double(a[1]))
+    fsub = lambda a, b, k: (R.sub(a[0], b[0], R.kp_limbs(p, k)),
+                            R.sub(a[1], b[1], R.kp_limbs(p, k)))
+    theta = fsub(Y, f2m(yq, Z), 2)               # < 12p (Y < 10p)
+    lam = fsub(X, f2m(xq, Z), 2)                 # < 4p
+    cc = f2s(theta)
+    d = f2s(lam)
+    e = f2m(lam, d)
+    f = f2m(Z, cc)
+    g = f2m(X, d)
+    h = fsub(fadd(e, f), fdbl(g), 4)             # < 8p
+    X3 = f2m(lam, h)
+    Z3 = f2m(e, Z)
+    eY = f2m(e, Y)
+    Y3 = fsub(f2m(theta, fsub(g, h, 8)), eY, 2)  # < 4p
+    j = fsub(f2m(theta, xq), f2m(lam, yq), 2)    # < 4p
+    kp16 = R.kp_limbs(p, 16)
+    nt = (R.neg(theta[0], kp16), R.neg(theta[1], kp16))
+    pack = lambda v: R.stack_rows(list(v[0]) + list(v[1]))
+    oX[...] = pack(X3)
+    oY[...] = pack(Y3)
+    oZ[...] = pack(Z3)
+    ol0a[...] = R.stack_rows(j[0])
+    ol0b[...] = R.stack_rows(j[1])
+    ol1[...] = pack(nt)
+    ol2a[...] = R.stack_rows(lam[0])
+    ol2b[...] = R.stack_rows(lam[1])
+
+
+def _call_step(kernel, arrays, row_counts, out_rows, extra_consts,
+               interpret=False):
+    """Grid a Miller-step kernel over (rows, S, 128) lane blocks."""
+    from .fp import FQ
+    nl = FQ.n
+    m = arrays[0].shape[1]
+    mp = -(-m // PF._VREG) * PF._VREG
+    s_tile = PF._SUB
+    s_total = mp // PF._LANE
+    args = [jnp.pad(x, ((0, 0), (0, mp - x.shape[1]))) if mp != m else x
+            for x in arrays]
+    args = [x.reshape(x.shape[0], s_total, PF._LANE) for x in args]
+    in_specs = [pl.BlockSpec((r, s_tile, PF._LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM) for r in row_counts]
+    from .limbs import int_to_limbs
+    for const in extra_consts + [FQ.p_limbs, int_to_limbs(FQ.r_mod_p, nl)]:
+        args.append(jnp.broadcast_to(
+            jnp.asarray(const, dtype=_U32).reshape(nl, 1, 1),
+            (nl, s_tile, PF._LANE)))
+        in_specs.append(pl.BlockSpec((nl, s_tile, PF._LANE),
+                                     lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(s_total // s_tile,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((r, s_tile, PF._LANE), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM) for r in out_rows],
+        out_shape=[jax.ShapeDtypeStruct((r, s_total, PF._LANE), _U32)
+                   for r in out_rows],
+        interpret=interpret,
+    )(*args)
+    return [o.reshape(r, mp)[:, :m] if mp != m else o.reshape(r, m)
+            for o, r in zip(outs, out_rows)]
+
+
+def _flat2(x):
+    """Fq2 (nl, 2, *batch) -> (2nl, M) rows (c0 rows then c1 rows)."""
+    nl = x.shape[0]
+    batch = x.shape[2:]
+    m = int(np.prod(batch)) if batch else 1
+    x2 = x.reshape(nl, 2, m)
+    return jnp.concatenate([x2[:, 0], x2[:, 1]], 0), batch, m
+
+
+def _unflat2(rows, batch):
+    nl = rows.shape[0] // 2
+    return jnp.stack([rows[:nl], rows[nl:]], 1).reshape(
+        (nl, 2) + tuple(batch))
+
+
+def miller_dbl_step(Rp, two_inv_int: int, interpret: bool = False):
+    """(R', (l0, l1, l2)) for the projective doubling step, one launch."""
+    from .fp import FQ
+    from .limbs import int_to_limbs
+    nl = FQ.n
+    arrs, batch = [], None
+    for c in Rp:
+        f, batch, m = _flat2(c)
+        arrs.append(f)
+    tinv = int_to_limbs(two_inv_int * FQ.r_mod_p % FQ.p, nl)
+    outs = _call_step(
+        functools.partial(_miller_dbl_kernel, nl, FQ.n0),
+        arrs, [2 * nl] * 3, [2 * nl, 2 * nl, 2 * nl, nl, nl, 2 * nl, nl, nl],
+        [tinv], interpret)
+    X3, Y3, Z3, l0a, l0b, l1, l2a, l2b = outs
+    u2 = lambda r: _unflat2(r, batch)
+    u1 = lambda a, b: jnp.stack(
+        [a.reshape((nl,) + tuple(batch)), b.reshape((nl,) + tuple(batch))], 1)
+    return ((u2(X3), u2(Y3), u2(Z3)),
+            (u1(l0a, l0b), u2(l1), u1(l2a, l2b)))
+
+
+def miller_add_step(Rp, q_aff, interpret: bool = False):
+    """(R', (l0, l1, l2)) for the mixed addition step, one launch."""
+    from .fp import FQ
+    nl = FQ.n
+    arrs, batch = [], None
+    for c in (*Rp, q_aff[0], q_aff[1]):
+        f, batch, m = _flat2(c)
+        arrs.append(f)
+    outs = _call_step(
+        functools.partial(_miller_add_kernel, nl, FQ.n0),
+        arrs, [2 * nl] * 5, [2 * nl, 2 * nl, 2 * nl, nl, nl, 2 * nl, nl, nl],
+        [], interpret)
+    X3, Y3, Z3, l0a, l0b, l1, l2a, l2b = outs
+    u2 = lambda r: _unflat2(r, batch)
+    u1 = lambda a, b: jnp.stack(
+        [a.reshape((nl,) + tuple(batch)), b.reshape((nl,) + tuple(batch))], 1)
+    return ((u2(X3), u2(Y3), u2(Z3)),
+            (u1(l0a, l0b), u2(l1), u1(l2a, l2b)))

@@ -1,0 +1,56 @@
+"""Persistent-compilation-cache helpers.
+
+One place for the cache policy every entry point (bench.py, the driver
+entry points, tests/conftest.py) shares:
+
+  * cache lives in <repo>/.jax_cache (gitignored, survives across runs in
+    one checkout);
+  * warm-start entries committed under <repo>/.jax_cache_seed are
+    hardlinked (or copied) into the live cache before first use, so a
+    FRESH checkout skips the multi-minute Mosaic/XLA cold compiles of the
+    driver's exact bench/dryrun graphs.  Mismatched keys are harmless
+    (plain cache misses).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+
+def repo_root() -> pathlib.Path:
+    return pathlib.Path(__file__).resolve().parent.parent.parent
+
+
+def setup(jax_module=None) -> None:
+    """Point jax at the repo cache, seeding it from .jax_cache_seed."""
+    import jax as _jax
+    jax = jax_module or _jax
+    root = repo_root()
+    cache = root / ".jax_cache"
+    try:
+        cache.mkdir(exist_ok=True)
+    except OSError:
+        return
+    seed = root / ".jax_cache_seed"
+    if seed.is_dir():
+        for f in seed.iterdir():
+            dst = cache / f.name
+            if not dst.exists():
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    import shutil
+                    try:
+                        shutil.copy2(f, dst)
+                    except OSError:
+                        pass
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # zstandard segfaults on some large executables (see conftest).
+        jax.config.update("jax_compilation_cache_compression_algorithm",
+                          "zlib")
+    except Exception:
+        pass

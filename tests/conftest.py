@@ -20,33 +20,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: big traces compile once across test runs.
-import tempfile, pathlib
-_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
-_cache.mkdir(exist_ok=True)
-
-# Seed the cache from the committed warm-start entries (.jax_cache_seed/):
-# CPU executables for this suite's heaviest graphs, compiled on this exact
-# container image. Hardlink (fall back to copy) anything not already
-# present -- turns a cold first run from ~40 min of XLA compiles on this
-# 2-core box into minutes. Harmless if keys don't match (cache misses).
-_seed = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache_seed"
-if _seed.is_dir():
-    import os as _os
-    for _f in _seed.iterdir():
-        _dst = _cache / _f.name
-        if not _dst.exists():
-            try:
-                _os.link(_f, _dst)
-            except OSError:
-                import shutil as _sh
-                _sh.copy2(_f, _dst)
-jax.config.update("jax_compilation_cache_dir", str(_cache))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-# The default zstandard compressor segfaults writing some large executables
-# (observed in compilation_cache.put_executable_and_time); zlib is stable.
-try:
-    jax.config.update("jax_compilation_cache_compression_algorithm", "zlib")
-except Exception:
-    pass
+# Persistent compilation cache, seeded from the committed warm-start
+# entries in .jax_cache_seed/ (see groth_sahai_tpu/utils/cache.py): big
+# traces compile once across test runs and fresh checkouts.
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+from groth_sahai_tpu.utils import cache as _cache
+_cache.setup(jax)
