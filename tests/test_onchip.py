@@ -123,3 +123,23 @@ def test_fq12_kernels_vs_scan_path():
     got = FQ12.to_ints(jax.jit(PT.cyc_sqr)(a))
     exp = [HC.f12_mul(x, x) for x in vals]
     assert [tuple(g) for g in got] == exp
+
+
+def test_pow_chain_kernel_vs_host():
+    from groth_sahai_tpu.ops.fp import FQ
+    from groth_sahai_tpu.ops import pallas_fp as PF
+    from groth_sahai_tpu.ops.limbs import ints_to_limbs, limbs_to_ints
+    rng = random.Random(17)
+    xs = [rng.randrange(1, FQ.p) for _ in range(9)]
+    mont = [x * FQ.r_mod_p % FQ.p for x in xs]
+    a = jnp.asarray(ints_to_limbs(mont, FQ.n))
+    e = FQ.p - 2
+    out = jax.jit(lambda a: FQ.normalize(PF.pow_const(FQ, a, e)))(a)
+    got = limbs_to_ints(np.asarray(out))
+    rinv = pow(FQ.R_int, -1, FQ.p)
+    exp = [pow(x, e, FQ.p) * pow(rinv, e - 1, FQ.p) % FQ.p for x in xs]
+    # a^e in Montgomery domain: (x R)^e R^{1-e} = x^e R  -> compare in
+    # standard form instead:
+    exp_std = [pow(x, e, FQ.p) for x in xs]
+    got_std = [g * rinv % FQ.p for g in got]
+    assert got_std == exp_std
