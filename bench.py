@@ -73,6 +73,34 @@ def _oracle():
     return O
 
 
+_PAIRWISE_JITS = {}
+EXPORT_MODE = False
+
+
+def _aot_or_jit(name, fn):
+    """Deserialize the committed exported graph `name`, or fall back to
+    tracing fn.  With --export, (re)export the artifact at first call and
+    then execute through the SAME deserialized path the driver will use,
+    so the XLA compile lands in the persistent cache under the key the
+    driver's load will look up (utils/aot.py)."""
+    from groth_sahai_tpu.utils import aot
+    if EXPORT_MODE:
+        jf = jax.jit(fn)
+        state = {}
+
+        def wrapper(*args):
+            if "call" not in state:
+                n = aot.save(name, jf, args)
+                print(f"[aot] exported {name}: {n/1e6:.1f} MB",
+                      file=sys.stderr)
+                state["call"] = aot.load(name) or jf
+            return state["call"](*args)
+
+        return wrapper
+    loaded = aot.load(name)
+    return loaded if loaded is not None else jax.jit(fn)
+
+
 def bench_pairing(batch: int, reps: int):
     from groth_sahai_tpu.ops import pairing as pr
     from groth_sahai_tpu.ops.curve import G1, G2, g1_affine_from_ints, \
@@ -85,7 +113,7 @@ def bench_pairing(batch: int, reps: int):
     g1 = g1_affine_from_ints([(C.G1_GEN_X, C.G1_GEN_Y)] * batch)
     g2 = g2_affine_from_ints([(C.G2_GEN_X, C.G2_GEN_Y)] * batch)
 
-    setup = jax.jit(lambda g1, g2, s1, s2: (
+    setup = _aot_or_jit(f"pair_setup_b{batch}", lambda g1, g2, s1, s2: (
         G1.to_affine(G1.scalar_mul(g1, s1)),
         G2.to_affine(G2.scalar_mul(g2, s2))))
 
@@ -103,7 +131,7 @@ def bench_pairing(batch: int, reps: int):
         P, Q = setup(g1, g2, s1, s2)
         inputs.append((jax.block_until_ready(P), jax.block_until_ready(Q)))
 
-    paired = jax.jit(pr.pairing)
+    paired = _aot_or_jit(f"pairing_b{batch}", pr.pairing)
 
     # ---- conformance gate (compile + oracle check BEFORE timing) ----------
     t0 = time.perf_counter()
@@ -146,36 +174,81 @@ def bench_pairing(batch: int, reps: int):
     }
 
 
+def _pairwise_points(n_points: int, seed: int):
+    """(affine G1 batch (n,), scalar ints (n,)) with known dlogs.
+
+    Builds n = nA * nB points as the pairwise sums (a_i + b_j) * G from ONE
+    small scalar-mul batch of nA + nB points plus one broadcasted complete
+    add -- the round-4 bench computed a_i * G with a scalar-mul at batch
+    n_points, whose cold compile + per-rep execution dominated the whole
+    MSM bench (VERDICT r4 weak #1).
+    """
+    from groth_sahai_tpu.ops.curve import G1, g1_affine_from_ints
+    from groth_sahai_tpu.ops import proj as PJ
+    from groth_sahai_tpu.ops import bls12_381 as C
+    from groth_sahai_tpu.ops.limbs import ints_to_limbs
+    from groth_sahai_tpu.ops.fp import FR
+    from groth_sahai_tpu.utils.rng import GsRng
+
+    nA = 1 << ((n_points.bit_length() - 1 + 1) // 2)
+    nB = n_points // nA
+    assert nA * nB == n_points, "n_points must be a power of two"
+    rng = GsRng(seed)
+    ab = rng.fr_ints(nA + nB)
+    g1 = g1_affine_from_ints([(C.G1_GEN_X, C.G1_GEN_Y)] * (nA + nB))
+
+    key = (nA, nB)
+    if key not in _PAIRWISE_JITS:
+        def expand(base, s, nA=nA, nB=nB, n_points=n_points):
+            from groth_sahai_tpu.ops.curve import G1 as _G1
+            aff = _G1.to_affine(_G1.scalar_mul(base, s))
+            A = tuple(l[..., :nA] for l in aff)
+            B = tuple(l[..., nA:] for l in aff)
+            Ap = PJ.from_affine(_G1, A)
+            Apb = tuple(
+                jnp.broadcast_to(l[..., :, None], l.shape + (nB,)).reshape(
+                    l.shape[:-1] + (n_points,))
+                for l in Ap)
+            Bb = tuple(
+                jnp.broadcast_to(l[..., None, :], l.shape[:-1] + (nA, nB))
+                .reshape(l.shape[:-1] + (n_points,))
+                for l in B)
+            return PJ.to_affine(_G1, PJ.madd(_G1, Apb, Bb))
+        _PAIRWISE_JITS[key] = _aot_or_jit(f"msm_expand_{nA}x{nB}", expand)
+
+    pts = jax.block_until_ready(_PAIRWISE_JITS[key](
+        g1, jnp.asarray(ints_to_limbs(ab, FR.n))))
+    dlogs = [(ab[i] + ab[nA + j]) % FR.p
+             for i in range(nA) for j in range(nB)]
+    return pts, dlogs
+
+
 def bench_msm(n_points: int, reps: int, window: int = 0, lanes: int = 0):
     del lanes                      # width picks itself from M (ops/msm.py)
     from groth_sahai_tpu.ops import msm as msm_mod
-    from groth_sahai_tpu.ops.curve import G1, g1_affine_from_ints, \
-        g1_affine_to_ints
-    from groth_sahai_tpu.ops import bls12_381 as C
+    from groth_sahai_tpu.ops.curve import G1, g1_affine_to_ints
     from groth_sahai_tpu.ops.limbs import ints_to_limbs
     from groth_sahai_tpu.ops.fp import FR
     from groth_sahai_tpu.utils.rng import GsRng
 
     window, _ = msm_mod._config_defaults(n_points, window, None)
     rng = GsRng(321)
-    g1 = g1_affine_from_ints([(C.G1_GEN_X, C.G1_GEN_Y)] * n_points)
-    setup = jax.jit(lambda g1, s: G1.to_affine(G1.scalar_mul(g1, s)))
 
     n_sets = reps + 1
     a_sets, s_sets, inputs = [], [], []
     for r in range(n_sets):
-        a = rng.fr_ints(n_points)
+        pts, dlogs = _pairwise_points(n_points, 1000 + r)
         s = rng.fr_ints(n_points)
-        a_sets.append(a)
+        a_sets.append(dlogs)
         s_sets.append(s)
-        pts = jax.block_until_ready(
-            setup(g1, jnp.asarray(ints_to_limbs(a, FR.n))))
         inputs.append((pts, jnp.asarray(ints_to_limbs(s, FR.n))))
 
-    run = jax.jit(lambda p, s: G1.to_affine(
-        jax.tree_util.tree_map(
-            lambda l: l[..., None],
-            msm_mod.msm(G1, p, s, window=window))))
+    run = _aot_or_jit(
+        f"msm_w{window}_n{n_points}",
+        lambda p, s: G1.to_affine(
+            jax.tree_util.tree_map(
+                lambda l: l[..., None],
+                msm_mod.msm(G1, p, s, window=window))))
 
     # ---- conformance gate --------------------------------------------------
     t0 = time.perf_counter()
@@ -224,7 +297,12 @@ def main():
     ap.add_argument("--reps", type=int, default=0)
     ap.add_argument("--window", type=int, default=0)
     ap.add_argument("--lanes", type=int, default=0)   # ignored (compat)
+    ap.add_argument("--export", action="store_true",
+                    help="(re)write artifacts/*.jaxexp for these workloads")
     args = ap.parse_args()
+    if args.export:
+        global EXPORT_MODE
+        EXPORT_MODE = True
     reps = args.reps or cfg.bench_reps
     meta = cfg.run_metadata()
     if args.metric == "pairing":

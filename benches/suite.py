@@ -190,9 +190,13 @@ def main():
         emit(f"msm_{n_msm}", dt, extra={"points_per_sec": round(n_msm / dt, 1)})
 
     # ---- batched verification (new capability; BASELINE configs[4]) ---------
-    if not args.quick and want("batch_verify"):
+    # B = 1024 is the BASELINE.json configs[4] workload at size (--quick
+    # drops to 64).  The proofs are distinct (per-proof randomness); the
+    # equation is shared, which matches the configs[4] "1024 batched PPE
+    # verifies" shape.
+    if want("batch_verify"):
         from groth_sahai_tpu.models.batch import verify_ppe_batch_randomized
-        B = 64
+        B = 64 if args.quick else 1024
         equ, xs, ys = make_ppe(2, 1, 777)
         proofs = [P.commit_and_prove(equ, xs, ys, crs, GsRng(6 + i))
                   for i in range(B)]
@@ -203,7 +207,7 @@ def main():
         t0 = time.perf_counter()
         verify_ppe_batch_randomized(equs, proofs, crs, GsRng(10))
         dt = time.perf_counter() - t0
-        emit("batch_verify_randomized_64", dt,
+        emit(f"batch_verify_randomized_{B}", dt,
              extra={"proofs_per_sec": round(B / dt, 1)})
 
 

@@ -63,6 +63,38 @@ def _digits(scalars_std, window: int):
     return jnp.stack(outs)
 
 
+def _signed_digits(scalars_std, window: int):
+    """Signed-digit recoding: (|d| uint32[W, N], neg bool[W, N]).
+
+    Digits land in [-(2^(w-1)-1), 2^(w-1)] (a digit d > 2^(w-1) becomes
+    d - 2^w with a +1 carry into the next window), HALVING the bucket
+    domain to [0, 2^(w-1)] -- the classic signed-window trick, made free
+    here because negating an affine point is one Y negation at gather
+    time.  The TOP window absorbs the final carry unsigned: Fr < 2^255
+    leaves >= w-1 slack bits there for every window in [8, 16]
+    (asserted), so |top| <= 2^(w-1) and no extra window appears.
+    """
+    n_windows = -(-NBITS // window)
+    half = 1 << (window - 1)
+    top_bits = 255 - (n_windows - 1) * window
+    assert top_bits <= window - 1, \
+        f"window {window}: top digit would overflow the signed domain"
+    raw = _digits(scalars_std, window)
+    outs_abs, outs_neg = [], []
+    carry = jnp.zeros(raw.shape[1:], jnp.uint32)
+    for k in range(n_windows):
+        d = raw[k] + carry
+        if k == n_windows - 1:
+            outs_abs.append(d)
+            outs_neg.append(jnp.zeros(d.shape, bool))
+        else:
+            neg = d > half
+            outs_abs.append(jnp.where(neg, (1 << window) - d, d))
+            outs_neg.append(neg)
+            carry = neg.astype(jnp.uint32)
+    return jnp.stack(outs_abs), jnp.stack(outs_neg)
+
+
 def _take_batch(curve, pts, idx):
     """Gather an affine batch (trailing batch axis) at integer indices."""
     return (jnp.take(pts[0], idx, axis=-1),
@@ -116,28 +148,35 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
     N = points_aff[2].shape[-1]
     window, width = _config_defaults(N, window, width)
     n_windows = -(-NBITS // window)
-    nbuck = 1 << window
+    # signed digits: bucket domain [0, 2^(w-1)] -- nbuck counts the
+    # distinct |digit| values incl. 0, so the weighted tail (gathers +
+    # complete adds over (W, nbuck-1)) is HALF the unsigned version's
+    nbuck = (1 << (window - 1)) + 1
     M = N * n_windows
     width = _pick_width(M, width)
     rows = -(-M // width)
     Mp = rows * width
 
-    # ---- 1-2: per-window digit sort ---------------------------------------
+    # ---- 1-2: per-window signed-digit sort --------------------------------
     # W independent N-element sorts along the last axis instead of one
-    # global W*N sort: same window-major sorted stream (13-bit digit keys;
-    # the window id would only occupy the high bits), ~log(W*N)/log(N)
-    # fewer bitonic passes and all W rows sort in parallel.
-    digs = _digits(scalars_std, window)                    # (W, N)
+    # global W*N sort: same window-major sorted stream (the window id
+    # would only occupy the high key bits), ~log(W*N)/log(N) fewer bitonic
+    # passes and all W rows sort in parallel.  The digit sign rides in the
+    # payload's bit 31 (N < 2^31).
+    digs, negs = _signed_digits(scalars_std, window)       # (W, N) each
     idxN = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None, :],
                             (n_windows, N))
-    digs_s, idx_sw = lax.sort((digs, idxN), num_keys=1)    # last axis
+    payload = idxN | (negs.astype(jnp.uint32) << 31)
+    digs_s, pay_sw = lax.sort((digs, payload), num_keys=1)  # last axis
     win_ix = jnp.arange(n_windows, dtype=jnp.uint32)[:, None]
     keys_s = (digs_s + win_ix * nbuck).reshape(M)          # globally sorted
-    idx_s = idx_sw.reshape(M)
+    pay_s = pay_sw.reshape(M)
     if Mp != M:   # sentinel tail keeps global sortedness
         keys_s = jnp.concatenate(
             [keys_s, jnp.full((Mp - M,), n_windows * nbuck, jnp.uint32)])
-        idx_s = jnp.concatenate([idx_s, jnp.zeros((Mp - M,), jnp.uint32)])
+        pay_s = jnp.concatenate([pay_s, jnp.zeros((Mp - M,), jnp.uint32)])
+    idx_s = pay_s & jnp.uint32(0x7FFFFFFF)
+    neg_s = pay_s >> 31
 
     # ---- 3: gather points into sorted order, column-major ------------------
     # lane L owns sorted chunk [L*rows, (L+1)*rows): element (r, L) is
@@ -147,7 +186,11 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
     # digit-0 entries contribute nothing: mask them to infinity
     key2 = keys_s.reshape(width, rows).T                   # (rows, width)
     is_zero_digit = (key2 % nbuck == 0) | (key2 >= n_windows * nbuck)
-    pts = (pts[0], pts[1], pts[2] | is_zero_digit)
+    # negative digits contribute -P: negate the affine Y at gather time
+    neg2 = (neg_s.reshape(width, rows).T != 0)             # (rows, width)
+    y_neg = curve.F.neg(pts[1], k=2)                       # affine y < 2p
+    pts = (pts[0], curve.F.select(neg2, y_neg, pts[1]),
+           pts[2] | is_zero_digit)
 
     # ---- 4: per-lane running prefix (the only sequential loop) -------------
     # The accumulation pipeline runs on the COMPLETE projective group law
@@ -245,28 +288,22 @@ def msm(curve: Curve, points_aff, scalars_std, window: int = 0,
         l[..., n_windows:].reshape(l.shape[:-1] + (n_windows, nbuck - 1))
         for l in u_all)                                         # proj (W, nb-1)
     # T_{w,d} = u_end - u_starts: one batched complete add with negated Y
-    # (projective coords stay < 4p, so neg with k=4); the digit axis is
-    # padded to nbuck with NEUTRAL lanes (inf + inf = inf on the complete
-    # law) so every downstream reduction shape is a power of two.
-    inf_col = PJ.inf(curve, (n_windows, 1))
-    bigL = tuple(
-        jnp.concatenate([jnp.broadcast_to(l[..., :, None],
-                                          l.shape + (nbuck - 1,)), ic],
-                        axis=-1)
-        for l, ic in zip(u_end, inf_col))
+    # (projective coords stay < 4p, so neg with k=4).  With signed digits
+    # nbuck - 1 = 2^(w-1) is already a power of two, so no neutral-lane
+    # padding is needed for the fold/prefix shapes below.
+    bigL = tuple(jnp.broadcast_to(l[..., :, None], l.shape + (nbuck - 1,))
+                 for l in u_end)
     negR = (u_starts[0], curve.F.neg(u_starts[1], k=4), u_starts[2])
-    negR = tuple(jnp.concatenate([x, ic], axis=-1)
-                 for x, ic in zip(negR, inf_col))
     cadd = (lambda a, b: PC.cadd(a, b, curve=curve)) if fused         else (lambda a, b: PJ.add(curve, a, b))
-    diffs = cadd(bigL, negR)                                # proj (W, nbuck)
+    diffs = cadd(bigL, negR)                              # proj (W, nbuck-1)
 
-    # window sums: halve the digit axis to <= 1024 lanes (3 fixed-shape
-    # folds for nbuck 8192), then ONE Hillis-Steele inclusive prefix at a
-    # constant shape (10 launches, all identical) and take the last lane.
-    # A log-tree all the way down would touch ~13 distinct kernel shapes;
-    # Mosaic recompiles per shape (~minutes each cold).
+    # window sums: halve the digit axis to <= 1024 lanes (fixed-shape
+    # folds), then ONE Hillis-Steele inclusive prefix at a constant shape
+    # (10 launches, all identical) and take the last lane.  A log-tree all
+    # the way down would touch ~12 distinct kernel shapes; Mosaic
+    # recompiles per shape (~minutes each cold).
     x = diffs
-    L = nbuck
+    L = nbuck - 1
     while L > 1024:
         half = L // 2
         x = cadd(tuple(v[..., :half] for v in x),

@@ -147,10 +147,12 @@ def miller_loop(p_aff, q_aff):
     R0 = (q_aff[0], q_aff[1], FQ2.one(batch))
     f0 = FQ12.one(batch)
 
-    # On TPU each Miller step runs as ONE fused Pallas kernel
-    # (pallas_tower.miller_dbl_step/add_step) instead of ~20 mul_wide/redc
-    # launches of XLA glue -- the 63-iteration loop is dispatch-bound
-    # otherwise. Same formulas/bounds; CPU keeps the pure-JAX steps.
+    # On TPU each Miller ITERATION runs as ONE fused Pallas kernel
+    # (pallas_tower.miller_iter_dbl/add): f' = f^2 * line(P) together with
+    # the R update in a single launch. The round-4 step kernels still left
+    # the Fq12 square + sparse multiply as XLA-glue launches (~6/iter) and
+    # the pairing path measured dispatch-bound at ~5% VPU utilization.
+    # Same formulas/bounds; CPU keeps the pure-JAX steps.
     from . import pallas_tower as PT
     total = 1
     for d in batch:
@@ -159,11 +161,10 @@ def miller_loop(p_aff, q_aff):
 
     def dbl_body(state, _):
         f, R = state
-        f = FQ12.sqr(f)
         if fused_steps:
-            R, line = PT.miller_dbl_step(R, _TWO_INV_INT)
-        else:
-            R, line = _dbl_step(R, two_inv, b3)
+            return (PT.miller_iter_dbl(f, R, px, py, _TWO_INV_INT), None)
+        f = FQ12.sqr(f)
+        R, line = _dbl_step(R, two_inv, b3)
         f = _ell(f, line, px, py, batch)
         return (f, R), None
 
@@ -181,9 +182,8 @@ def miller_loop(p_aff, q_aff):
         def with_add(st):
             f, R = st
             if fused_steps:
-                R2, line_a = PT.miller_add_step(R, q_aff)
-            else:
-                R2, line_a = _add_step(R, q_aff)
+                return PT.miller_iter_add(f, R, q_aff, px, py)
+            R2, line_a = _add_step(R, q_aff)
             return (_ell(f, line_a, px, py, batch), R2)
 
         return lax.cond(do_add, with_add, lambda st: st, state), None
@@ -264,6 +264,17 @@ def gt_exp(a, scalar_limbs):
     """a^s for batched Fr scalars (standard-form limbs uint32[17, *batch])."""
     nbits = scalar_limbs.shape[0] * 16
     batch = a.shape[2:]
+
+    # On TPU the whole 272-bit ladder runs as ONE fused launch with the
+    # per-lane bit picked in-kernel (pallas_tower.f12_pow_dyn); the scan
+    # below issues 2 launches per bit and dominated randomized batch
+    # verification.
+    from . import pallas_tower as PT
+    total = 1
+    for d in batch:
+        total *= int(d)
+    if PT.usable(a, scalar_limbs) and 0 < total <= 4096:
+        return PT.f12_pow_dyn(a, scalar_limbs)
 
     def bit_at(i):
         limb = scalar_limbs[i // 16]

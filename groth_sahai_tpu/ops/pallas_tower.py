@@ -222,6 +222,117 @@ def _cyc_sqr_kernel(nl, n0, a_ref, p_ref, one_ref, o_ref):
             rows.extend(red(zm[1]))
     o_ref[...] = jnp.stack(rows, 0)
 
+# ------------------------------------------------- in-kernel Fq12 helpers
+#
+# Reusable bodies for the fused Miller-iteration and cyclotomic-pow
+# kernels.  An Fq12 value in nested form is a 2-tuple of 3-tuples of Fq2
+# row-list pairs (w-coeff, v-coeff, u-coeff order as in _split12).
+
+def _f12_post_red(nl, n0, p, one, c):
+    """Post-reduce every coefficient to < 2p (mont-by-one)."""
+    red = lambda x: R.mont_mul(nl, n0, p, x, one)
+    return tuple(tuple((red(f2[0]), red(f2[1])) for f2 in f6) for f6 in c)
+
+
+def _f12_sqr_red(nl, n0, p, one, a):
+    """Fused Fq12 square, post-reduced; input coeffs < 2p."""
+    return _f12_post_red(nl, n0, p, one, _f12_mul(nl, n0, p, a, a))
+
+
+def _f12_mul_red(nl, n0, p, one, a, b):
+    return _f12_post_red(nl, n0, p, one, _f12_mul(nl, n0, p, a, b))
+
+
+def _sparse_line_mul(nl, n0, p, one, f, la, lb, lc):
+    """f * (la + lb v + lc v w), post-reduced to < 2p.
+
+    f: nested Fq12 (coeffs < 2p); la/lb/lc: Fq2 pairs with component
+    bounds <= 50p / 2p / 2p (the dbl/add line values after px/py scaling).
+    15 Fq2 muls (45 mont) + 12 post-reductions -- the sparse structure of
+    the M-twist line value (ops/pairing.py _sparse_to_fq12).
+    """
+    f2 = lambda x, y: _f2_mul(nl, n0, p, x, y)          # outputs < 6p
+    kp6 = R.kp_limbs(p, 6)
+
+    def f6_mul_ab(c6, a, b):
+        """(c0 + c1 v + c2 v^2)(a + b v): coeffs < 18p."""
+        t00 = f2(c6[0], a)
+        t10 = f2(c6[1], a)
+        t20 = f2(c6[2], a)
+        t01 = f2(c6[0], b)
+        t11 = f2(c6[1], b)
+        t21 = f2(c6[2], b)
+        r0 = _f2_add(t00, _f2_xi(p, t21, 6))            # < 18p
+        r1 = _f2_add(t10, t01)                          # < 12p
+        r2 = _f2_add(t20, t11)                          # < 12p
+        return (r0, r1, r2)
+
+    def f6_mul_cv(c6, c):
+        """(c0 + c1 v + c2 v^2)(c v): (xi c2 c, c0 c, c1 c) < 12p."""
+        return (_f2_xi(p, f2(c6[2], c), 6), f2(c6[0], c), f2(c6[1], c))
+
+    f0, f1 = f
+    t0 = f6_mul_ab(f0, la, lb)                          # < 18p
+    t1 = f6_mul_cv(f1, lc)                              # < 12p
+    s = _f6_add(f0, f1)                                 # < 4p
+    ts = f6_mul_ab(s, la, _f2_add(lb, lc))              # < 18p
+    # out0 = t0 + v t1 ; v t1 = (xi t1[2], t1[0], t1[1])
+    out0 = (_f2_add(t0[0], _f2_xi(p, t1[2], 12)),       # < 18p + 36p
+            _f2_add(t0[1], t1[0]),
+            _f2_add(t0[2], t1[1]))
+    kp18 = R.kp_limbs(p, 18)
+    out1 = tuple(_f2_sub(_f2_sub(x, y, kp18), z, kp18)
+                 for x, y, z in zip(ts, t0, t1))        # < 54p
+    return _f12_post_red(nl, n0, p, one, (out0, out1))
+
+
+def _cyc_sqr_body(nl, n0, p, one, c):
+    """Granger-Scott cyclotomic square on a nested Fq12 < 2p, post-reduced.
+
+    Same math + bound audit as _cyc_sqr_kernel, on nested values.
+    """
+    mm = lambda x, y: R.mont_mul(nl, n0, p, x, y)
+    kp = lambda k: R.kp_limbs(p, k)
+    # flatten nested (2)(3) -> the [c0..c5] Fq2-coefficient list (m = 3i+j)
+    cl = [c[0][0], c[0][1], c[0][2], c[1][0], c[1][1], c[1][2]]
+    x0 = [cl[0], cl[3], cl[1]]
+    x1 = [cl[4], cl[2], cl[5]]
+
+    def f2sqr(a):
+        s = R.add(a[0], a[1])
+        d = R.sub(a[0], a[1], kp(4))
+        return (mm(s, d), R.double(mm(a[0], a[1])))
+
+    s0 = [f2sqr(v) for v in x0]
+    s1 = [f2sqr(v) for v in x1]
+    sx = [f2sqr(_f2_add(a, b)) for a, b in zip(x0, x1)]
+    ta = [(R.add(t[0], R.sub(u[0], u[1], kp(4))),
+           R.add(t[1], R.add(u[0], u[1])))
+          for t, u in zip(s0, s1)]
+    tb = [(R.sub(R.sub(v[0], t[0], kp(2)), u[0], kp(2)),
+           R.sub(R.sub(v[1], t[1], kp(4)), u[1], kp(4)))
+          for v, t, u in zip(sx, s0, s1)]
+
+    def comb_a(t, cc):
+        return tuple(R.add(R.double(R.sub(ti, ci, kp(2))), ti)
+                     for ti, ci in zip(t, cc))
+
+    def comb_b(t, cc):
+        return tuple(R.add(R.double(R.add(ti, ci)), ti)
+                     for ti, ci in zip(t, cc))
+
+    xiC1 = (R.sub(tb[2][0], tb[2][1], kp(12)), R.add(tb[2][0], tb[2][1]))
+    z = [comb_a(ta[0], cl[0]), comb_a(ta[1], cl[1]), comb_a(ta[2], cl[2]),
+         comb_b(xiC1, cl[3]), comb_b(tb[0], cl[4]), comb_b(tb[1], cl[5])]
+    out = ((z[0], z[1], z[2]), (z[3], z[4], z[5]))
+    return _f12_post_red(nl, n0, p, one, out)
+
+
+def _f12_select(mask, a, b):
+    return tuple(tuple((R.select(mask, x[0], y[0]), R.select(mask, x[1], y[1]))
+                       for x, y in zip(a6, b6)) for a6, b6 in zip(a, b))
+
+
 def _call12(kernel, arrays, interpret):
     from .fp import FQ
     nl = FQ.n
@@ -337,22 +448,13 @@ def _f2_mul_fq(nl, n0, p, s, a):
     return (R.mont_mul(nl, n0, p, a[0], s), R.mont_mul(nl, n0, p, a[1], s))
 
 
-def _miller_dbl_kernel(nl, n0, X_r, Y_r, Z_r, tinv_r, p_r, one_r,
-                       oX, oY, oZ, ol0a, ol0b, ol1, ol2a, ol2b):
-    """Projective doubling step; outputs R' and raw line coeffs
-    (l0 Fq2, l1 = 3j Fq2, l2 = -h Fq2); px/py scaling happens outside
-    (it needs the G1 coords; cheap: 4 mont muls)."""
-    p = R.rows_of(p_r, nl)
-    one = R.rows_of(one_r, nl)
-    tinv = R.rows_of(tinv_r, nl)
-    u2 = lambda r: ([r[i] for i in range(nl)],
-                    [r[nl + i] for i in range(nl)])
-    X, Y, Z = u2(X_r), u2(Y_r), u2(Z_r)
+def _dbl_step_body(nl, n0, p, one, X, Y, Z, tinv):
+    """Projective doubling step on row-list Fq2 coords; returns
+    ((X3, Y3, Z3), (l0 < 50p, l1 = 3j < 6p, l2 = -h < 8p))."""
     f2m = lambda a, b: _f2_mulred(nl, n0, p, one, a, b)
     f2s = lambda a: _f2_sqrred(nl, n0, p, one, a)
     f2fq = lambda a, s: _f2_mul_fq(nl, n0, p, s, a)
     fadd = lambda a, b: (R.add(a[0], b[0]), R.add(a[1], b[1]))
-    fdbl = lambda a: (R.double(a[0]), R.double(a[1]))
     fsub = lambda a, b, k: (R.sub(a[0], b[0], R.kp_limbs(p, k)),
                             R.sub(a[1], b[1], R.kp_limbs(p, k)))
     # a = X*Y/2 ; b = Y^2 ; c = Z^2 ; j = X^2
@@ -376,26 +478,12 @@ def _miller_dbl_kernel(nl, n0, X_r, Y_r, Z_r, tinv_r, p_r, one_r,
     l1 = (R.add(R.double(j[0]), j[0]), R.add(R.double(j[1]), j[1]))  # 3j < 6p
     kp8 = R.kp_limbs(p, 8)
     l2 = (R.neg(h[0], kp8), R.neg(h[1], kp8))    # -h < 8p
-    pack = lambda v: R.stack_rows(list(v[0]) + list(v[1]))
-    oX[...] = pack(X3)
-    oY[...] = pack(Y3)
-    oZ[...] = pack(Z3)
-    ol0a[...] = R.stack_rows(i[0])
-    ol0b[...] = R.stack_rows(i[1])
-    ol1[...] = pack(l1)
-    ol2a[...] = R.stack_rows(l2[0])
-    ol2b[...] = R.stack_rows(l2[1])
+    return (X3, Y3, Z3), (i, l1, l2)
 
 
-def _miller_add_kernel(nl, n0, X_r, Y_r, Z_r, xq_r, yq_r, p_r, one_r,
-                       oX, oY, oZ, ol0a, ol0b, ol1, ol2a, ol2b):
-    """Mixed addition step with affine Q; line = (j, -theta, lambda)."""
-    p = R.rows_of(p_r, nl)
-    one = R.rows_of(one_r, nl)
-    u2 = lambda r: ([r[i] for i in range(nl)],
-                    [r[nl + i] for i in range(nl)])
-    X, Y, Z = u2(X_r), u2(Y_r), u2(Z_r)
-    xq, yq = u2(xq_r), u2(yq_r)
+def _add_step_body(nl, n0, p, one, X, Y, Z, xq, yq):
+    """Mixed addition step with affine Q; line = (j < 4p, -theta < 16p,
+    lambda < 4p)."""
     f2m = lambda a, b: _f2_mulred(nl, n0, p, one, a, b)
     f2s = lambda a: _f2_sqrred(nl, n0, p, one, a)
     fadd = lambda a, b: (R.add(a[0], b[0]), R.add(a[1], b[1]))
@@ -417,6 +505,41 @@ def _miller_add_kernel(nl, n0, X_r, Y_r, Z_r, xq_r, yq_r, p_r, one_r,
     j = fsub(f2m(theta, xq), f2m(lam, yq), 2)    # < 4p
     kp16 = R.kp_limbs(p, 16)
     nt = (R.neg(theta[0], kp16), R.neg(theta[1], kp16))
+    return (X3, Y3, Z3), (j, nt, lam)
+
+
+def _miller_dbl_kernel(nl, n0, X_r, Y_r, Z_r, tinv_r, p_r, one_r,
+                       oX, oY, oZ, ol0a, ol0b, ol1, ol2a, ol2b):
+    """Projective doubling step; outputs R' and raw line coeffs
+    (l0 Fq2, l1 = 3j Fq2, l2 = -h Fq2); px/py scaling happens outside
+    (it needs the G1 coords; cheap: 4 mont muls)."""
+    p = R.rows_of(p_r, nl)
+    one = R.rows_of(one_r, nl)
+    tinv = R.rows_of(tinv_r, nl)
+    u2 = lambda r: ([r[i] for i in range(nl)],
+                    [r[nl + i] for i in range(nl)])
+    (X3, Y3, Z3), (i, l1, l2) = _dbl_step_body(
+        nl, n0, p, one, u2(X_r), u2(Y_r), u2(Z_r), tinv)
+    pack = lambda v: R.stack_rows(list(v[0]) + list(v[1]))
+    oX[...] = pack(X3)
+    oY[...] = pack(Y3)
+    oZ[...] = pack(Z3)
+    ol0a[...] = R.stack_rows(i[0])
+    ol0b[...] = R.stack_rows(i[1])
+    ol1[...] = pack(l1)
+    ol2a[...] = R.stack_rows(l2[0])
+    ol2b[...] = R.stack_rows(l2[1])
+
+
+def _miller_add_kernel(nl, n0, X_r, Y_r, Z_r, xq_r, yq_r, p_r, one_r,
+                       oX, oY, oZ, ol0a, ol0b, ol1, ol2a, ol2b):
+    """Mixed addition step with affine Q; line = (j, -theta, lambda)."""
+    p = R.rows_of(p_r, nl)
+    one = R.rows_of(one_r, nl)
+    u2 = lambda r: ([r[i] for i in range(nl)],
+                    [r[nl + i] for i in range(nl)])
+    (X3, Y3, Z3), (j, nt, lam) = _add_step_body(
+        nl, n0, p, one, u2(X_r), u2(Y_r), u2(Z_r), u2(xq_r), u2(yq_r))
     pack = lambda v: R.stack_rows(list(v[0]) + list(v[1]))
     oX[...] = pack(X3)
     oY[...] = pack(Y3)
@@ -477,6 +600,276 @@ def _unflat2(rows, batch):
     nl = rows.shape[0] // 2
     return jnp.stack([rows[:nl], rows[nl:]], 1).reshape(
         (nl, 2) + tuple(batch))
+
+
+# --------------------------------------------- fused FULL Miller iterations
+#
+# One pallas_call per Miller-loop iteration: f' = f^2 * line(P) together
+# with the R update.  The round-4 step kernels left the f-update (an Fq12
+# square + sparse multiply) as separate launches plus XLA glue -- ~6
+# launches per iteration; the measured pairing path was dispatch-bound at
+# ~5% VPU utilization.  Here the doubling iteration is ONE launch
+# (~151 mont muls/lane) and the rare addition iteration a second kernel.
+
+def _miller_iter_dbl_kernel(nl, n0, f_r, X_r, Y_r, Z_r, px_r, py_r,
+                            tinv_r, p_r, one_r, of, oX, oY, oZ):
+    p = R.rows_of(p_r, nl)
+    one = R.rows_of(one_r, nl)
+    tinv = R.rows_of(tinv_r, nl)
+    u2 = lambda r: ([r[i] for i in range(nl)],
+                    [r[nl + i] for i in range(nl)])
+    f = _split12(f_r, nl)
+    px = R.rows_of(px_r, nl)
+    py = R.rows_of(py_r, nl)
+    fsq = _f12_sqr_red(nl, n0, p, one, f)
+    (X3, Y3, Z3), (l0, l1, l2) = _dbl_step_body(
+        nl, n0, p, one, u2(X_r), u2(Y_r), u2(Z_r), tinv)
+    lb = _f2_mul_fq(nl, n0, p, px, l1)           # < 2p
+    lc = _f2_mul_fq(nl, n0, p, py, l2)           # < 2p
+    fo = _sparse_line_mul(nl, n0, p, one, fsq, l0, lb, lc)
+    pack = lambda v: R.stack_rows(list(v[0]) + list(v[1]))
+    of[...] = _join12(fo, nl)
+    oX[...] = pack(X3)
+    oY[...] = pack(Y3)
+    oZ[...] = pack(Z3)
+
+
+def _miller_iter_add_kernel(nl, n0, f_r, X_r, Y_r, Z_r, xq_r, yq_r,
+                            px_r, py_r, p_r, one_r, of, oX, oY, oZ):
+    p = R.rows_of(p_r, nl)
+    one = R.rows_of(one_r, nl)
+    u2 = lambda r: ([r[i] for i in range(nl)],
+                    [r[nl + i] for i in range(nl)])
+    f = _split12(f_r, nl)
+    px = R.rows_of(px_r, nl)
+    py = R.rows_of(py_r, nl)
+    (X3, Y3, Z3), (l0, nt, lam) = _add_step_body(
+        nl, n0, p, one, u2(X_r), u2(Y_r), u2(Z_r), u2(xq_r), u2(yq_r))
+    lb = _f2_mul_fq(nl, n0, p, px, nt)           # < 2p
+    lc = _f2_mul_fq(nl, n0, p, py, lam)          # < 2p
+    fo = _sparse_line_mul(nl, n0, p, one, f, l0, lb, lc)
+    pack = lambda v: R.stack_rows(list(v[0]) + list(v[1]))
+    of[...] = _join12(fo, nl)
+    oX[...] = pack(X3)
+    oY[...] = pack(Y3)
+    oZ[...] = pack(Z3)
+
+
+def _flat1(x):
+    """Fq (nl, *batch) -> (nl, M) rows."""
+    nl = x.shape[0]
+    batch = x.shape[1:]
+    m = int(np.prod(batch)) if batch else 1
+    return x.reshape(nl, m), batch, m
+
+
+def miller_iter_dbl(f, Rp, px, py, two_inv_int: int,
+                    interpret: bool = False):
+    """One fused Miller doubling iteration: (f^2 * line(P), 2R)."""
+    from .fp import FQ
+    from .limbs import int_to_limbs
+    nl = FQ.n
+    fr, batch, m = _flat12(f)
+    arrs = [fr]
+    for c in Rp:
+        arrs.append(_flat2(c)[0])
+    arrs.append(_flat1(px)[0])
+    arrs.append(_flat1(py)[0])
+    tinv = int_to_limbs(two_inv_int * FQ.r_mod_p % FQ.p, nl)
+    outs = _call_step(
+        functools.partial(_miller_iter_dbl_kernel, nl, FQ.n0),
+        arrs, [12 * nl] + [2 * nl] * 3 + [nl] * 2,
+        [12 * nl] + [2 * nl] * 3, [tinv], interpret)
+    fo, X3, Y3, Z3 = outs
+    u2 = lambda r: _unflat2(r, batch)
+    return _unflat12(fo, batch), (u2(X3), u2(Y3), u2(Z3))
+
+
+def miller_iter_add(f, Rp, q_aff, px, py, interpret: bool = False):
+    """One fused Miller addition iteration: (f * line_add(P), R + Q)."""
+    from .fp import FQ
+    nl = FQ.n
+    fr, batch, m = _flat12(f)
+    arrs = [fr]
+    for c in (*Rp, q_aff[0], q_aff[1]):
+        arrs.append(_flat2(c)[0])
+    arrs.append(_flat1(px)[0])
+    arrs.append(_flat1(py)[0])
+    outs = _call_step(
+        functools.partial(_miller_iter_add_kernel, nl, FQ.n0),
+        arrs, [12 * nl] + [2 * nl] * 5 + [nl] * 2,
+        [12 * nl] + [2 * nl] * 3, [], interpret)
+    fo, X3, Y3, Z3 = outs
+    u2 = lambda r: _unflat2(r, batch)
+    return _unflat12(fo, batch), (u2(X3), u2(Y3), u2(Z3))
+
+
+# ------------------------------------------------- fused cyclotomic pow
+#
+# a^e for a STATIC exponent as ONE launch: 64 square-and-select-multiply
+# iterations over an SMEM bit string padded with leading zeros (squaring
+# 1 is free algebraically, so the pad costs only uniform-shape work and
+# every exponent <= 64 bits reuses the SAME compiled kernel -- the BLS
+# final-exp chain needs exactly V3 (63b), V_ABS (64b) and |x| (64b)).
+
+_CYC_POW_NBITS = 64
+
+
+def _cyc_pow_kernel(nl, n0, a_ref, bits_ref, p_ref, one_ref, o_ref):
+    p = R.rows_of(p_ref, nl)
+    one = R.rows_of(one_ref, nl)
+    a = _split12(a_ref, nl)
+    z = [R._zero_like(one[0])] * nl
+    zf2 = (list(z), list(z))
+    # canonical carry structure: tuple(2) x tuple(3) x tuple(2) x row lists
+    canon = lambda c: tuple(tuple((list(x[0]), list(x[1])) for x in c6)
+                            for c6 in c)
+
+    def body(i, acc):
+        acc = _cyc_sqr_body(nl, n0, p, one, acc)
+        am = _f12_mul_red(nl, n0, p, one, acc, a)
+        bit = bits_ref[i]
+        return canon(_f12_select(bit != 0, am, acc))
+
+    acc0 = canon((((list(one), list(z)), zf2, zf2), (zf2, zf2, zf2)))
+    acc = jax.lax.fori_loop(0, _CYC_POW_NBITS, body, acc0)
+    o_ref[...] = _join12(acc, nl)
+
+
+def cyc_pow(a, e: int, conjugate_result: bool = False,
+            interpret: bool = False):
+    """a^e in the cyclotomic subgroup, one fused launch; e <= 64 bits."""
+    assert 0 < e.bit_length() <= _CYC_POW_NBITS
+    ar, batch, m = _flat12(a)
+    from .fp import FQ
+    nl = FQ.n
+    bits = np.zeros(_CYC_POW_NBITS, dtype=np.int32)
+    nb = e.bit_length()
+    for i in range(nb):
+        bits[_CYC_POW_NBITS - nb + i] = (e >> (nb - 1 - i)) & 1
+
+    mp = -(-m // PF._VREG) * PF._VREG
+    s_tile = PF._SUB
+    s_total = mp // PF._LANE
+    if mp != m:
+        ar = jnp.pad(ar, ((0, 0), (0, mp - m)))
+    a3 = ar.reshape(12 * nl, s_total, PF._LANE)
+    from .limbs import int_to_limbs
+    consts = []
+    for c in (FQ.p_limbs, int_to_limbs(FQ.r_mod_p, nl)):
+        consts.append(jnp.broadcast_to(
+            jnp.asarray(c, dtype=_U32).reshape(nl, 1, 1),
+            (nl, s_tile, PF._LANE)))
+    out = pl.pallas_call(
+        functools.partial(_cyc_pow_kernel, nl, FQ.n0),
+        grid=(s_total // s_tile,),
+        in_specs=[
+            pl.BlockSpec((12 * nl, s_tile, PF._LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nl, s_tile, PF._LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nl, s_tile, PF._LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((12 * nl, s_tile, PF._LANE),
+                               lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((12 * nl, s_total, PF._LANE), _U32),
+        interpret=interpret,
+    )(a3, jnp.asarray(bits), *consts)
+    out = out.reshape(12 * nl, mp)
+    out = out[:, :m] if mp != m else out
+    res = _unflat12(out, batch)
+    if conjugate_result:
+        from .tower import FQ12
+        res = FQ12.conj(res)
+    return res
+
+
+# ------------------------------------------------- fused dynamic GT pow
+#
+# a^s for PER-LANE 272-bit scalars (standard-form Fr limbs) as ONE launch:
+# 272 square-and-select-multiply iterations in-kernel.  Replaces gt_exp's
+# per-bit scan (2 launches x 272 bits) in randomized batch verification.
+# Generic Fq12 ops (the base is a Miller ratio, not in the cyclotomic
+# subgroup); the current bit is picked arithmetically (a 17-way static
+# where-chain on the limb index) -- no dynamic VMEM indexing needed.
+
+def _f12_pow_dyn_kernel(nl, n0, nlimbs, a_ref, s_ref, p_ref, one_ref,
+                        o_ref):
+    p = R.rows_of(p_ref, nl)
+    one = R.rows_of(one_ref, nl)
+    a = _split12(a_ref, nl)
+    limbs = [s_ref[i] for i in range(nlimbs)]
+    z = [R._zero_like(one[0])] * nl
+    zf2 = (list(z), list(z))
+    canon = lambda c: tuple(tuple((list(x[0]), list(x[1])) for x in c6)
+                            for c6 in c)
+    acc0 = canon((((list(one), list(z)), zf2, zf2), (zf2, zf2, zf2)))
+    nbits = 16 * nlimbs
+
+    def body(i, acc):
+        acc = _f12_sqr_red(nl, n0, p, one, acc)
+        am = _f12_mul_red(nl, n0, p, one, acc, a)
+        b = nbits - 1 - i
+        limb_idx = b // 16
+        sh = b % 16
+        limb = limbs[0] & 0
+        for L in range(nlimbs):
+            limb = jnp.where(limb_idx == L, limbs[L], limb)
+        bit = (limb >> sh.astype(jnp.uint32)) & 1
+        return canon(_f12_select(bit != 0, am, acc))
+
+    acc = jax.lax.fori_loop(0, nbits, body, acc0)
+    o_ref[...] = _join12(acc, nl)
+
+
+def f12_pow_dyn(a, scal_std, interpret: bool = False):
+    """a^s, per-lane dynamic scalars (uint32[17, *batch] standard limbs),
+    one fused launch.  Batch shapes of a and scal must match."""
+    from .fp import FQ, FR
+    nl = FQ.n
+    ar, batch, m = _flat12(a)
+    scal = jnp.broadcast_to(scal_std, (FR.n,) + tuple(batch))
+    sr = scal.reshape(FR.n, m)
+
+    mp = -(-m // PF._VREG) * PF._VREG
+    s_tile = PF._SUB
+    s_total = mp // PF._LANE
+    if mp != m:
+        ar = jnp.pad(ar, ((0, 0), (0, mp - m)))
+        sr = jnp.pad(sr, ((0, 0), (0, mp - m)))
+    a3 = ar.reshape(12 * nl, s_total, PF._LANE)
+    s3 = sr.reshape(FR.n, s_total, PF._LANE)
+    from .limbs import int_to_limbs
+    consts = []
+    for c in (FQ.p_limbs, int_to_limbs(FQ.r_mod_p, nl)):
+        consts.append(jnp.broadcast_to(
+            jnp.asarray(c, dtype=_U32).reshape(nl, 1, 1),
+            (nl, s_tile, PF._LANE)))
+    out = pl.pallas_call(
+        functools.partial(_f12_pow_dyn_kernel, nl, FQ.n0, FR.n),
+        grid=(s_total // s_tile,),
+        in_specs=[
+            pl.BlockSpec((12 * nl, s_tile, PF._LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FR.n, s_tile, PF._LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nl, s_tile, PF._LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nl, s_tile, PF._LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((12 * nl, s_tile, PF._LANE),
+                               lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((12 * nl, s_total, PF._LANE), _U32),
+        interpret=interpret,
+    )(a3, s3, *consts)
+    out = out.reshape(12 * nl, mp)
+    out = out[:, :m] if mp != m else out
+    return _unflat12(out, batch)
 
 
 def miller_dbl_step(Rp, two_inv_int: int, interpret: bool = False):

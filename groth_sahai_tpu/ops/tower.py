@@ -508,6 +508,15 @@ class _Fq12:
         nbits = e.bit_length()
         if nbits == 1:
             return self.conj(a) if conjugate_result else a
+        # On TPU a <= 64-bit static exponent runs as ONE fused launch (64
+        # square-and-select-multiply iterations in-kernel); the BLS
+        # final-exp chain (V3 63b, V_ABS 64b, |x| 64b) is exactly this
+        # case, cutting the hard part from ~500 launches to 5.
+        from . import pallas_tower as PT
+        import numpy as _np
+        if (nbits <= PT._CYC_POW_NBITS and PT.usable(a)
+                and int(_np.prod(a.shape[2:], dtype=_np.int64)) <= 4096):
+            return PT.cyc_pow(a, e, conjugate_result=conjugate_result)
         bit_list = [(e >> (nbits - 1 - i)) & 1 for i in range(nbits)]
 
         if sum(bit_list) <= 8:                   # sparse exponent

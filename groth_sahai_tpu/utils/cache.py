@@ -23,11 +23,15 @@ def repo_root() -> pathlib.Path:
 
 
 def setup(jax_module=None) -> None:
-    """Point jax at the repo cache, seeding it from .jax_cache_seed."""
+    """Point jax at the repo cache, seeding it from .jax_cache_seed.
+
+    GS_CACHE_DIR overrides the live cache location (used e.g. to measure a
+    true cold start without disturbing the working cache)."""
     import jax as _jax
     jax = jax_module or _jax
     root = repo_root()
-    cache = root / ".jax_cache"
+    cache = pathlib.Path(os.environ.get("GS_CACHE_DIR") or
+                         (root / ".jax_cache"))
     try:
         cache.mkdir(exist_ok=True)
     except OSError:

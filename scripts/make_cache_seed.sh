@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Capture the driver warm-start state: artifacts/*.jaxexp (exported
+# StableHLO -- skips trace+lowering) AND .jax_cache_seed/ (persistent-cache
+# entries -- skips XLA/Mosaic compile).
+#
+# Flow: `bench.py --export` re-exports every bench graph and executes it
+# through the SAME deserialized path the driver will use, against a fresh
+# cache dir; the dryrun then adds the CPU multichip graphs.  The fresh
+# cache dir becomes .jax_cache_seed verbatim, so a fresh checkout's first
+# `python bench.py` = deserialize + cache-load + run (VERDICT r4 "do
+# this" #1: first_call_s < 120).
+#
+# Run AFTER the final kernel-affecting change of a round, then:
+#   git add -f artifacts .jax_cache_seed && git commit
+set -eu
+cd "$(dirname "$0")/.."
+SEED_TMP=$(mktemp -d /tmp/gs_seed.XXXX)
+echo "== export + cold-compile bench graphs into $SEED_TMP"
+GS_CACHE_DIR="$SEED_TMP" timeout 5400 python bench.py --export \
+    > /tmp/seed_bench.json
+cat /tmp/seed_bench.json
+echo "== cold entry() compile check"
+GS_CACHE_DIR="$SEED_TMP" timeout 3500 python - <<'EOF'
+import __graft_entry__ as E
+import jax
+fn, args = E.entry()
+jax.block_until_ready(jax.jit(fn)(*args))
+print("[seed] entry() compiled")
+EOF
+echo "== cold dryrun (8 virtual CPU devices)"
+GS_CACHE_DIR="$SEED_TMP" timeout 3500 python - <<'EOF'
+import __graft_entry__ as E
+E.dryrun_multichip(8)
+print("[seed] dryrun done")
+EOF
+echo "== installing $(ls "$SEED_TMP" | wc -l) entries into .jax_cache_seed"
+rm -rf .jax_cache_seed
+mkdir .jax_cache_seed
+cp "$SEED_TMP"/* .jax_cache_seed/
+du -sh .jax_cache_seed artifacts
+echo "done; commit with: git add -f artifacts .jax_cache_seed"

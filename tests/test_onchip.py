@@ -125,6 +125,107 @@ def test_fq12_kernels_vs_scan_path():
     assert [tuple(g) for g in got] == exp
 
 
+def test_miller_iter_kernels_vs_jax_twin():
+    """Fused full Miller iterations (f-update + R-step in one launch) vs
+    the pure-JAX twin bodies (which the CPU suite validates vs oracle)."""
+    import random as _r
+    import jax.numpy as jnp
+    from groth_sahai_tpu.ops.fp import FQ
+    from groth_sahai_tpu.ops.tower import FQ2, FQ12
+    from groth_sahai_tpu.ops import pairing as pg
+    from groth_sahai_tpu.ops import pallas_tower as PT
+    from groth_sahai_tpu.ops.curve import (g1_affine_from_ints,
+                                           g2_affine_from_ints)
+    from groth_sahai_tpu.utils import hostcrypto as HC
+    from groth_sahai_tpu.ops import bls12_381 as C
+
+    rng = _r.Random(23)
+    n = 8
+    f_vals = [HC.f12_pow(HC.pairing_gen(), rng.randrange(1, 1 << 60))
+              for _ in range(n)]
+    f = FQ12.from_ints(f_vals)
+    P = [HC.g1_mul((C.G1_GEN_X, C.G1_GEN_Y), rng.randrange(1, 1 << 30))
+         for _ in range(n)]
+    Q = [HC.g2_mul((C.G2_GEN_X, C.G2_GEN_Y), rng.randrange(1, 1 << 30))
+         for _ in range(n)]
+    p_aff = g1_affine_from_ints(P)
+    q_aff = g2_affine_from_ints(Q)
+    px, py = p_aff[0], p_aff[1]
+    batch = (n,)
+    R0 = (q_aff[0], q_aff[1], FQ2.one(batch))
+    two_inv = pg._bcast_const(FQ.from_int(pg._TWO_INV_INT), 1)
+    b3 = pg._bcast_const(FQ2.from_int_pair(*pg._B_TWIST_INTS), 1)
+
+    def jax_dbl(f, R):
+        fs = FQ12.sqr(f)
+        R2, line = pg._dbl_step(R, two_inv, b3)
+        return pg._ell(fs, line, px, py, batch), R2
+
+    def jax_add(f, R):
+        R2, line = pg._add_step(R, q_aff)
+        return pg._ell(f, line, px, py, batch), R2
+
+    norm = lambda x: np.asarray(jax.jit(
+        lambda v: FQ.normalize(v, k=16))(x))
+    f1, Rn = jax.jit(lambda f, R: PT.miller_iter_dbl(
+        f, R, px, py, pg._TWO_INV_INT))(f, R0)
+    f1j, Rnj = jax.jit(jax_dbl)(f, R0)
+    np.testing.assert_array_equal(norm(f1), norm(f1j))
+    # projective coords may differ only by the representative -- here both
+    # paths run identical formulas, so limbs agree mod p
+    for a, b in zip(Rn, Rnj):
+        np.testing.assert_array_equal(norm(a), norm(b))
+
+    f2, Ra = jax.jit(lambda f, R: PT.miller_iter_add(
+        f, R, q_aff, px, py))(f1, Rn)
+    f2j, Raj = jax.jit(jax_add)(f1, Rn)
+    np.testing.assert_array_equal(norm(f2), norm(f2j))
+    for a, b in zip(Ra, Raj):
+        np.testing.assert_array_equal(norm(a), norm(b))
+
+
+def test_cyc_pow_kernel_vs_host():
+    """Fused 64-bit cyclotomic pow vs host math, incl. the conjugate."""
+    import random as _r
+    from groth_sahai_tpu.ops.tower import FQ12
+    from groth_sahai_tpu.ops import pallas_tower as PT
+    from groth_sahai_tpu.utils import hostcrypto as HC
+
+    rng = _r.Random(29)
+    vals = [HC.f12_pow(HC.pairing_gen(), rng.randrange(1, 1 << 60))
+            for _ in range(4)]
+    a = FQ12.from_ints(vals)
+    # each distinct exponent embeds a different bit-string constant ->
+    # a fresh XLA compile; two cases cover the ladder (sparse BLS x and a
+    # dense max-width value)
+    for e in (0xd201000000010000, (1 << 64) - 5):
+        got = FQ12.to_ints(jax.jit(
+            lambda a, e=e: PT.cyc_pow(a, e))(a))
+        exp = [HC.f12_pow(v, e) for v in vals]
+        assert [tuple(g) for g in got] == exp, f"cyc_pow e={e:#x}"
+
+
+def test_f12_pow_dyn_vs_host():
+    """Fused dynamic GT pow (per-lane 272-bit scalars, one launch)."""
+    import random as _r
+    import jax.numpy as jnp
+    from groth_sahai_tpu.ops.tower import FQ12
+    from groth_sahai_tpu.ops.fp import FR
+    from groth_sahai_tpu.ops.limbs import ints_to_limbs
+    from groth_sahai_tpu.ops import pallas_tower as PT
+    from groth_sahai_tpu.utils import hostcrypto as HC
+
+    rng = _r.Random(31)
+    vals = [HC.f12_pow(HC.pairing_gen(), rng.randrange(1, 1 << 60))
+            for _ in range(4)]
+    es = [rng.randrange(1, FR.p) for _ in range(4)]
+    a = FQ12.from_ints(vals)
+    s = jnp.asarray(ints_to_limbs(es, FR.n))
+    got = FQ12.to_ints(jax.jit(PT.f12_pow_dyn)(a, s))
+    exp = [HC.f12_pow(v, e) for v, e in zip(vals, es)]
+    assert [tuple(g) for g in got] == exp
+
+
 def test_pow_chain_kernel_vs_host():
     from groth_sahai_tpu.ops.fp import FQ
     from groth_sahai_tpu.ops import pallas_fp as PF
