@@ -306,13 +306,13 @@ def main():
     reps = args.reps or cfg.bench_reps
     meta = cfg.run_metadata()
     if args.metric == "pairing":
-        res = bench_pairing(args.batch or 512, reps)
+        res = bench_pairing(args.batch or 4096, reps)
     elif args.metric == "msm":
         res = bench_msm(args.batch or 65536, reps,
                         window=args.window or cfg.msm_window)
     else:
         # ONE line, both metrics: pairing as the headline, msm nested.
-        res = bench_pairing(args.batch or 512, reps)
+        res = bench_pairing(args.batch or 4096, reps)
         msm_res = bench_msm(65536, max(2, reps - 2),
                             window=args.window or cfg.msm_window)
         # the msm sub-benchmark intentionally runs fewer reps than

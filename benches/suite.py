@@ -33,15 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_compilation_cache_compression_algorithm", "zlib")
-except Exception:
-    pass
+from groth_sahai_tpu.utils import cache as _cache
+_cache.setup(jax)
 
 
 def timeit(fn, *args, reps=3):

@@ -727,9 +727,13 @@ def _cyc_pow_kernel(nl, n0, a_ref, bits_ref, p_ref, one_ref, o_ref):
 
     def body(i, acc):
         acc = _cyc_sqr_body(nl, n0, p, one, acc)
-        am = _f12_mul_red(nl, n0, p, one, acc, a)
-        bit = bits_ref[i]
-        return canon(_f12_select(bit != 0, am, acc))
+        # the multiply runs ONLY on set bits (scf.if on the SMEM scalar):
+        # always-multiply-and-select would double the work of the sparse
+        # BLS chains (|x| has 6 set bits of 64)
+        return jax.lax.cond(
+            bits_ref[i] != 0,
+            lambda t: canon(_f12_mul_red(nl, n0, p, one, t, a)),
+            lambda t: canon(t), acc)
 
     acc0 = canon((((list(one), list(z)), zf2, zf2), (zf2, zf2, zf2)))
     acc = jax.lax.fori_loop(0, _CYC_POW_NBITS, body, acc0)

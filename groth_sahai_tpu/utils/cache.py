@@ -53,8 +53,22 @@ def setup(jax_module=None) -> None:
         jax.config.update("jax_compilation_cache_dir", str(cache))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        # zstandard segfaults on some large executables (see conftest).
-        jax.config.update("jax_compilation_cache_compression_algorithm",
-                          "zlib")
+    except Exception:
+        pass
+    # Force zlib compression. jax 0.9 has no config knob (the old
+    # jax_compilation_cache_compression_algorithm update raised and was
+    # silently swallowed here -- every entry was still zstd); it uses the
+    # zstandard package whenever importable.  This container's zstandard
+    # native decompressor corrupts memory on large executables -- the
+    # test-suite worker segfaults bisect to get_executable_and_time ->
+    # ZstdDecompressor on multi-100MB entries -- so null the module refs
+    # and let compress/decompress_executable fall through to zlib.
+    # Legacy zstd entries read as cache misses (recompiled once, then
+    # rewritten as zlib); scripts/recompress_cache.py converts in place.
+    try:
+        from jax._src import compilation_cache as _cc
+        _cc.zstandard = None
+        if getattr(_cc, "zstd", None) is not None:
+            _cc.zstd = None
     except Exception:
         pass

@@ -35,11 +35,8 @@ def main():
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__), "..",
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from groth_sahai_tpu.utils import cache as _cache
+    _cache.setup(jax)
 
     from groth_sahai_tpu.ops import pairing as pr
     from groth_sahai_tpu.ops import msm as msm_mod

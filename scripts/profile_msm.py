@@ -35,7 +35,12 @@ from groth_sahai_tpu.utils.rng import GsRng
 
 
 def sync(x):
-    return jax.block_until_ready(x)
+    # blocking one-round-trip probe (benches/timing.py): block_until_ready
+    # is untrustworthy through the tunnel, and per-leaf fetches pay the
+    # ~23 ms RPC floor once per leaf
+    from benches.timing import probe_fetch
+    probe_fetch(x)
+    return x
 
 
 def timeit(fn, *args, reps=3, name=""):
