@@ -41,7 +41,11 @@ def load(name: str):
         return None
     try:
         from jax import export as jex
-        exp = jex.deserialize(p.read_bytes())
+        blob = p.read_bytes()
+        if blob[:2] == b"\x1f\x8b":              # gzip-compressed artifact
+            import gzip
+            blob = gzip.decompress(blob)
+        exp = jex.deserialize(blob)
         return exp.call
     except Exception as e:                       # stale/incompatible blob
         import sys
@@ -58,7 +62,8 @@ def save(name: str, jit_fn, example_args) -> int:
         jex.DisabledSafetyCheck.custom_call("Sharding"),
     ]
     exp = jex.export(jit_fn, disabled_checks=disabled)(*example_args)
-    blob = exp.serialize()
+    import gzip
+    blob = gzip.compress(exp.serialize(), 6)
     artifact_dir().mkdir(exist_ok=True)
     _path(name).write_bytes(blob)
     return len(blob)

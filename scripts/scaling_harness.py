@@ -67,24 +67,25 @@ def main():
     for d in (1, n_dev):
         mesh = Mesh(full.devices.reshape(-1)[:d], ("chips",))
         # same global problem on d devices
+        from benches.timing import probe_fetch
         t0 = time.time()
         window = cfg.msm_window or 8
         out = sharded_msm(mesh, G1, pts, scal, window=window)
-        jax.block_until_ready(out)
+        probe_fetch(out)
         compile_s = time.time() - t0
         reps = []
         for _ in range(3):
             t0 = time.time()
             out = sharded_msm(mesh, G1, pts, scal, window=window)
-            np.asarray(out[0][:1, :1])
+            probe_fetch(out)
             reps.append(time.time() - t0)
         results[d] = min(reps)
         metrics.collective_bytes(d, 3 * 25 * 4, "msm_merge")
         print(json.dumps({
+            **cfg.run_metadata(),
             "devices": d, "points": N, "min_s": round(min(reps), 4),
             "points_per_sec": round(N / min(reps), 1),
-            "compile_first_s": round(compile_s, 1),
-            **cfg.run_metadata()}), flush=True)
+            "compile_first_s": round(compile_s, 1)}), flush=True)
 
     eff = results[1] / (results[n_dev] * n_dev)
     print(json.dumps({
