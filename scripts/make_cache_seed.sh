@@ -28,7 +28,11 @@ jax.block_until_ready(jax.jit(fn)(*args))
 print("[seed] entry() compiled")
 EOF
 echo "== cold dryrun (8 virtual CPU devices)"
-GS_CACHE_DIR="$SEED_TMP" timeout 3500 python - <<'EOF'
+# XLA_FLAGS must come from the environment: the container's sitecustomize
+# pre-imports jax, so dryrun_multichip's in-process fallback never fires
+GS_CACHE_DIR="$SEED_TMP" \
+XLA_FLAGS="--xla_force_host_platform_device_count=8 --xla_cpu_max_isa=AVX2" \
+timeout 3500 python - <<'EOF'
 import __graft_entry__ as E
 E.dryrun_multichip(8)
 print("[seed] dryrun done")
