@@ -90,11 +90,17 @@ def main():
 
     sizes = [2] if args.quick else [2, 334]
 
+    pats = [p for p in args.only.split(",") if p != ""]
+
     def want(name):
-        return args.only in name
+        return not pats or any(p in name for p in pats)
 
     # ---- commits (bench.rs:292-418) ----------------------------------------
     for m in sizes:
+        if not any(want(f"{g}_{m}") for g in
+                   ("commit_g1", "commit_g2",
+                    "commit_scalar_b1", "commit_scalar_b2")):
+            continue
         xs = rand_g1(m, 10 + m)
         if want(f"commit_g1_{m}"):
             dt = timeit(lambda x: P.batch_commit_G1(
@@ -136,6 +142,8 @@ def main():
 
     ppe_sizes = [(2, 1)] if args.quick else [(2, 1), (334, 334)]
     for (m, n) in ppe_sizes:
+        if not (want(f"prove_ppe_{m}x{n}") or want(f"verify_ppe_{m}x{n}")):
+            continue
         equ, xs, ys = make_ppe(m, n, 100 + m)
         if want(f"prove_ppe_{m}x{n}"):
             def do_prove():
@@ -143,8 +151,8 @@ def main():
                     .equ_proofs[0].pi
             dt = timeit(lambda: do_prove())
             emit(f"prove_ppe_{m}x{n}", dt)
-        proof = P.commit_and_prove(equ, xs, ys, crs, GsRng(5))
         if want(f"verify_ppe_{m}x{n}"):
+            proof = P.commit_and_prove(equ, xs, ys, crs, GsRng(5))
             ok = verify(equ, proof, crs)
             assert ok, f"PPE {m}x{n} proof must verify"
             t0 = time.perf_counter()
