@@ -27,3 +27,22 @@ import sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from groth_sahai_tpu.utils import cache as _cache
 _cache.setup(jax)
+
+# The container's XLA:CPU executable loader segfaults intermittently in
+# backend.deserialize_executable on large persistent-cache entries (the
+# same crashy native path pytest.ini describes for compiles).  A segfault
+# cannot be caught in-process: the xdist worker dies and the in-flight
+# test would be reported as a hard failure.  Retry each crashed test once
+# on a replacement worker (requires a scheduler with mark_test_pending,
+# i.e. --dist worksteal/load -- see pytest.ini).
+_crash_retried = set()
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    if crashitem not in _crash_retried and hasattr(sched, "mark_test_pending"):
+        _crash_retried.add(crashitem)
+        try:
+            sched.mark_test_pending(crashitem)
+        except NotImplementedError:
+            return  # loadscope/loadfile: keep the failure report
+        report.outcome = "rerun"  # not failed: the retest decides
