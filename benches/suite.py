@@ -177,18 +177,22 @@ def main():
         emit("g1_add_65536", dt, extra={"per_sec": round(65536 / dt, 1)})
 
     # ---- TPU headline: pairings + MSM (SURVEY.md 2b) ------------------------
-    if want("pairing_128"):
-        Pp, Qq = rand_g1(128, 41), rand_g2(128, 42)
-        dt = timeit(jax.jit(pr.pairing), Pp, Qq)
-        emit("pairing_128", dt, extra={"pairings_per_sec": round(128 / dt, 1)})
-    if want("msm_65536"):
-        n_msm = 4096 if args.quick else 65536
-        pts = rand_g1(n_msm, 51)
-        s = rng.fr_std((n_msm,))
-        f = jax.jit(lambda p, sc: msm_mod.msm(
-            G1, p, sc, window=8 if n_msm < 16384 else 13))
-        dt = timeit(f, pts, s)
-        emit(f"msm_{n_msm}", dt, extra={"points_per_sec": round(n_msm / dt, 1)})
+    # The pairing/msm headlines run through bench.py's own harness (AOT
+    # graphs from artifacts/ + committed .jax_cache_seed entries + oracle
+    # conformance gate), so the suite never recompiles one-off batch-size
+    # variants of the two most expensive Mosaic graphs.
+    if want("pairing_4096") or want("msm_65536"):
+        import bench as _bench
+        if want("pairing_4096"):
+            rec = _bench.bench_pairing(4096, 3)
+            emit("pairing_4096", rec["min_s"],
+                 extra={"pairings_per_sec": rec["value"],
+                        "checksum_ok": rec.get("checksum_ok")})
+        if want("msm_65536"):
+            rec = _bench.bench_msm(65536, 3, 13)
+            emit("msm_65536", rec["min_s"],
+                 extra={"points_per_sec": rec["value"],
+                        "checksum_ok": rec.get("checksum_ok")})
 
     # ---- batched verification (new capability; BASELINE configs[4]) ---------
     # B = 1024 is the BASELINE.json configs[4] workload at size (--quick
